@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction (the fused mapInPandas kernel over
+HTML-wrapped documents); ``queries``/``oracle_sql`` expose each
+implemented operator from SURVEY.md §2 with a DuckDB-checkable analog.
+
+Column-name/type discipline: every computed column is aliased identically
+on both sides; aggregates that cross engines are integral (cents),
+strings, or identically-rounded doubles; DuckDB HUGEINT sums are cast
+back to BIGINT to match Spark.
 """
 
 from __future__ import annotations
@@ -13,26 +16,198 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# ------------------------------------------------------------------ entry
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full extraction kernel
+    (HTML route -> boilerplate strip -> assembly contract) over the
+    documents table wrapped as Common-Crawl-style pages."""
+    from tesseract_ocr_service_spark.operators import bridge
+
+    return bridge.extract_documents(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+
+#: shared SQL fragment: tokenized documents with a per-doc dense token
+#: index rn (1-based, empties dropped) — the word-table analog.
+_TOKS = """
+toks AS (
+    SELECT doc_id, tok,
+           row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+    FROM (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents
+    )
+    WHERE tok <> ''
+)
+"""
+
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tesseract_ocr_service_spark.operators import bridge
+
+    return bridge.extract_documents(spark, sf_dir).select(
+        "doc_id", "canonical_text", "n_words"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from tesseract_ocr_service_spark.operators import relational as R
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_canonical_text": _q_extract,
+        "assembly_relational": R.assembly_relational,
+        "confidence_mean": R.confidence_mean,
+        "bbox_rollup": R.bbox_rollup,
+        "store_stats": R.store_stats,
+        "sorted_order_lists": R.sorted_order_lists,
+        "nonempty_word_counts": R.nonempty_word_counts,
+        "ts_window_rollup": R.ts_window_rollup,
+        "validation_routing": R.validation_routing,
+        "pricing_summary": R.pricing_summary,
+        "top_customers_by_region": R.top_customers_by_region,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        # the flagship: the kernel's HTML round-trip contract — tokenize,
+        # 12-word flow lines joined "\n", sub-3-token docs are boilerplate
+        # (min_block_words) -> '' (rejected-block rule).
+        "extract_canonical_text": f"""
+            WITH {_TOKS},
+            lines AS (
+                SELECT doc_id, (rn - 1) // 12 AS line_no,
+                       string_agg(tok, ' ' ORDER BY rn) AS line_text,
+                       count(*) AS n
+                FROM toks GROUP BY doc_id, (rn - 1) // 12
+            ),
+            assembled AS (
+                SELECT doc_id,
+                       string_agg(line_text, chr(10) ORDER BY line_no) AS txt,
+                       sum(n) AS total
+                FROM lines GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CASE WHEN coalesce(a.total, 0) >= 3 THEN a.txt
+                        ELSE '' END AS canonical_text,
+                   CAST(CASE WHEN coalesce(a.total, 0) >= 3 THEN a.total
+                        ELSE 0 END AS BIGINT) AS n_words
+            FROM documents d LEFT JOIN assembled a USING (doc_id)
+        """,
+        "assembly_relational": f"""
+            WITH {_TOKS},
+            words AS (
+                SELECT doc_id, tok, rn,
+                       ((rn - 1) // 24) + 1 AS block_num,
+                       (((rn - 1) % 24) // 6) + 1 AS line_num
+                FROM toks
+            ),
+            lines AS (
+                SELECT doc_id, block_num, line_num,
+                       string_agg(tok, ' ' ORDER BY rn) AS line_text
+                FROM words GROUP BY doc_id, block_num, line_num
+            ),
+            blocks AS (
+                SELECT doc_id, block_num,
+                       string_agg(line_text, chr(10) ORDER BY line_num)
+                           AS block_text
+                FROM lines GROUP BY doc_id, block_num
+            )
+            SELECT doc_id,
+                   string_agg(block_text, chr(10) || chr(10)
+                              ORDER BY block_num) AS assembled_text
+            FROM blocks GROUP BY doc_id
+        """,
+        "confidence_mean": """
+            SELECT event_type,
+                   coalesce(round(avg(CASE WHEN value - 10.0 >= 0
+                                           THEN value - 10.0 END), 4),
+                            0.0) AS avg_conf,
+                   count(CASE WHEN value - 10.0 >= 0 THEN 1 END) AS n_conf,
+                   count(*) AS n_total
+            FROM events GROUP BY event_type
+        """,
+        "bbox_rollup": """
+            SELECT l_orderkey,
+                   min(l_linenumber) AS bb_left,
+                   min(CAST(l_quantity AS BIGINT)) AS bb_top,
+                   max(l_linenumber + CAST(l_quantity AS BIGINT)) AS bb_right,
+                   max(CAST(l_quantity AS BIGINT) * 2) AS bb_bottom
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "store_stats": """
+            SELECT count(*) AS total_documents,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS oldest_ts,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS newest_ts,
+                   arg_min(event_id, ts) AS oldest_id,
+                   arg_max(event_id, ts) AS newest_id
+            FROM events
+        """,
+        "sorted_order_lists": """
+            SELECT o_custkey,
+                   array_to_string(list_sort(list(o_orderkey)), ',')
+                       AS orders_csv,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        """,
+        "nonempty_word_counts": """
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                                   x -> x <> '')) AS n_words
+            FROM documents
+        """,
+        "ts_window_rollup": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10'
+              AND ts < TIMESTAMP '2024-01-20'
+            GROUP BY 1
+        """,
+        "validation_routing": """
+            SELECT CASE WHEN text IS NULL OR length(text) = 0
+                        THEN 'rejected'
+                        WHEN n_chars > 380 THEN 'oversize'
+                        ELSE 'ok' END AS status,
+                   count(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_disc_units,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_customers_by_region": """
+            WITH counts AS (
+                SELECT r.r_name, c.c_custkey, count(*) AS n_orders
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+                GROUP BY r.r_name, c.c_custkey
+            )
+            SELECT r_name, c_custkey, n_orders, rank FROM (
+                SELECT r_name, c_custkey, n_orders,
+                       CAST(row_number() OVER (
+                           PARTITION BY r_name
+                           ORDER BY n_orders DESC, c_custkey
+                       ) AS INTEGER) AS rank
+                FROM counts
+            ) WHERE rank <= 5
+        """,
+    }

@@ -1,0 +1,78 @@
+"""Job configuration for the extraction pipeline.
+
+Mirrors the reference's env-driven settings (``ocr/config.py:14-56``,
+defaults in ``.env.example:27-102``) and the per-request ``OCRConfig``
+(``ocr/schemas.py:22-55``), collapsed into one frozen job-level config:
+in a batch engine the "request config" is a job parameter, broadcast to
+executors as plain closure state (small, immutable).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """All knobs of the extraction kernel.
+
+    Page-selection priority replicates ``ocr/schemas.py:26-29`` /
+    ``ocr/services/pdf_processor.py:56-68,92-100``:
+    ``pages`` (explicit list) > ``page_start``/``page_end`` (range) > all.
+    Unlike the reference (which renders ALL pages then filters the list,
+    ``pdf_processor.py:60-63``), we filter before parsing word records.
+    """
+
+    # languages accepted by the job; reference default ["rus"]
+    # (ocr/schemas.py:38-41), joined "+" (ocr_processor.py:353).
+    languages: tuple[str, ...] = ("rus",)
+    pages: Optional[tuple[int, ...]] = None
+    page_start: Optional[int] = None
+    page_end: Optional[int] = None
+
+    # validation gate: reference OCR_MAX_FILE_SIZE_MB=100 (.env.example:27,
+    # enforced ocr/main.py:368-378).
+    max_file_size_mb: int = 100
+
+    # deskew applied iff abs(angle) > skew_threshold — strictly greater
+    # (ocr_processor.py:443; OCR_SKEW_THRESHOLD=0.3 in .env.example:82).
+    skew_threshold: float = 0.3
+
+    # NOTE: the reference declares osd_confidence_threshold=5.0
+    # (ocr/config.py:43, .env.example:62-67) but NEVER reads it — rotation
+    # applies whenever rotate != 0 regardless of OSD confidence
+    # (ocr_processor.py:413-420). We replicate the *code* behavior: the
+    # field exists for parity but is intentionally unused.
+    osd_confidence_threshold: float = 5.0
+
+    # ---- engine-side knobs (no reference analog) ----
+    # HTML path: a rendered text line holds at most this many words
+    # (deterministic flow-layout stand-in for Tesseract line detection).
+    line_wrap_words: int = 12
+    # HTML path: blocks with link_density > this are boilerplate.
+    max_link_density: float = 0.33
+    # HTML path: non-heading blocks with fewer words are boilerplate.
+    min_block_words: int = 3
+    # fixed per-word confidence on the HTML path (no real OCR => exact).
+    html_word_conf: int = 95
+    # emit the 5-level spans hierarchy (can be disabled for text-only runs)
+    emit_spans: bool = True
+
+    @property
+    def max_file_size_bytes(self) -> int:
+        return self.max_file_size_mb * 1024 * 1024
+
+    @property
+    def lang_string(self) -> str:
+        """Languages joined Tesseract-style (ocr_processor.py:353)."""
+        return "+".join(self.languages)
+
+
+DEFAULT_CONFIG = ExtractConfig()
+
+# Row statuses produced by the pipeline (FIXTURES.md §2).
+STATUS_OK = "ok"
+STATUS_REJECTED = "rejected"  # bad magic / oversize (ocr/main.py:335-390)
+STATUS_ERROR = "error"  # doc-level failure (ocr_processor.py:535-542)
+STATUS_EMPTY = "empty"  # zero pages (ocr_processor.py:386-392)

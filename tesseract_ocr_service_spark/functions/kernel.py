@@ -1,0 +1,317 @@
+"""The fused extraction kernel: one Arrow batch in, one batch out.
+
+Replaces the reference's whole per-document pipeline — split -> OSD ->
+rotate -> deskew -> OCR -> assemble -> coordinates
+(``ocr/services/ocr_processor.py:325-533``) — with a single pandas pass
+over a batch of documents. Where the reference crosses a process
+boundary five times per document (pickling full-resolution images into
+ProcessPoolExecutor workers at :400-401,:425-426,:456-457), this kernel
+crosses the JVM<->Python Arrow boundary once per *batch*; the three
+stage barriers fuse away entirely.
+
+Granularity note ("zero per-row Python", BASELINE.json input_hint): the
+Spark plan contains no row-at-a-time Python UDF — only ``mapInPandas``
+over Arrow batches. Inside the kernel, payload routing/parsing is O(1)
+per *document* (the document is the row; parsing a payload is inherently
+per-document), while all word-level work — sorting, grouping, text
+assembly, bbox envelopes, confidence means — is columnar pandas/numpy
+over the concatenated word table of the whole batch.
+
+Failure semantics (never fail the Spark task):
+- bad magic / oversize / null  -> status='rejected' (ocr/main.py:335-390)
+- doc-level parse error/poison -> status='error', pages=[]
+  (ocr_processor.py:535-542)
+- zero pages after selection   -> status='empty' (ocr_processor.py:386-392)
+- page-level poison            -> page kept with text='', confidence=0.0,
+  blocks=[] (ocr_processor.py:95-105)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+
+from ..config import (
+    STATUS_EMPTY,
+    STATUS_ERROR,
+    STATUS_OK,
+    STATUS_REJECTED,
+    ExtractConfig,
+)
+from . import assembly, htmlx, pdfstream
+
+_REC_COLS = [
+    "doc",
+    "page_number",
+    "block_num",
+    "par_num",
+    "line_num",
+    "word_num",
+    "text",
+    "left",
+    "top",
+    "width",
+    "height",
+    "conf",
+]
+
+OUTPUT_COLUMNS = [
+    "url",
+    "warc_ts",
+    "lang",
+    "status",
+    "error",
+    "total_pages",
+    "avg_confidence",
+    "canonical_text",
+    "pages",
+    "spans",
+    "n_blocks_kept",
+    "n_blocks_dropped",
+    "n_words",
+    "n_chars",
+]
+
+
+def _route(payload: Any, max_bytes: int) -> tuple[str, str | None]:
+    """-> (kind, reject_reason). kind in {'pdf','html','rejected'}.
+
+    Mirrors the reference's validation order (ocr/main.py:335-390): size
+    gate, then magic. HTML (leading '<') is a new accepted payload kind
+    per the north_star; anything else is rejected, as a status row rather
+    than an HTTP 400/413.
+    """
+    if payload is None or len(payload) == 0:
+        return "rejected", "empty_payload"
+    if len(payload) > max_bytes:
+        return "rejected", "file_too_large"
+    if payload.startswith(pdfstream.MAGIC):
+        return "pdf", None
+    if payload.lstrip()[:1] == b"<":
+        return "html", None
+    return "rejected", "invalid_payload"
+
+
+def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """Extract one Arrow batch of pages rows -> one wide row per document.
+
+    Input columns: url, warc_ts, html, lang (the noise column ``text`` is
+    pruned before the kernel — column-pruning is part of the contract).
+    Output columns: :data:`OUTPUT_COLUMNS` (schema.EXTRACTED_SCHEMA).
+    """
+    n = len(batch)
+    urls = batch["url"].tolist()
+    payloads = batch["html"].tolist()
+
+    # per-doc state -------------------------------------------------
+    status = [STATUS_OK] * n
+    error: list[str | None] = [None] * n
+    # page meta: doc -> list of dicts (page_number, rotation_applied,
+    # deskew_angle, width, height, failed)
+    page_meta: list[list[dict]] = [[] for _ in range(n)]
+    blocks_kept = [0] * n
+    blocks_dropped = [0] * n
+
+    rec_chunks: list[list[tuple]] = []  # word-record rows, arrival order
+
+    for d in range(n):
+        kind, reason = _route(payloads[d], cfg.max_file_size_bytes)
+        if kind == "rejected":
+            status[d] = STATUS_REJECTED
+            error[d] = reason
+            continue
+
+        if kind == "html":
+            # one synthetic page (page_number=1) per HTML document; page
+            # selection applies uniformly to both payload kinds, so a
+            # selection that excludes page 1 empties the document.
+            if pdfstream.select_pages(
+                [{"page_number": 1}], cfg.pages, cfg.page_start, cfg.page_end
+            ) == []:
+                status[d] = STATUS_EMPTY
+                error[d] = "no pages to process"
+                continue
+            try:
+                html = payloads[d].decode("utf-8", errors="replace")
+                records, kept, dropped, page_h = htmlx.extract_word_records(
+                    html, cfg
+                )
+            except Exception as e:  # defensive: never fail the task
+                status[d] = STATUS_ERROR
+                error[d] = f"html_parse_error: {e}"
+                continue
+            blocks_kept[d] = kept
+            blocks_dropped[d] = dropped
+            page_meta[d].append(
+                {
+                    "page_number": 1,
+                    "rotation_applied": 0,
+                    "deskew_angle": 0.0,
+                    "width": htmlx.PAGE_W,
+                    "height": page_h,
+                    "failed": False,
+                }
+            )
+            rec_chunks.append(
+                [(d, 1) + r for r in records]  # (doc, page_number, *WORD_FIELDS)
+            )
+            continue
+
+        # pdf path ---------------------------------------------------
+        try:
+            pages = pdfstream.decode(payloads[d])
+            pages = pdfstream.select_pages(
+                pages, cfg.pages, cfg.page_start, cfg.page_end
+            )
+        except pdfstream.DocumentParseError as e:
+            status[d] = STATUS_ERROR
+            error[d] = str(e)
+            continue
+        if not pages:
+            # reference: success=False, "PDF не содержит страниц..."
+            # (ocr_processor.py:386-392) — here a typed status instead.
+            status[d] = STATUS_EMPTY
+            error[d] = "no pages to process"
+            continue
+
+        doc_block_ids: set[tuple[int, int]] = set()
+        for p in pages:
+            rotate = int(p.get("rotate", 0))
+            angle = float(p.get("skew_angle", 0.0))
+            applied = abs(angle) > cfg.skew_threshold  # strict > (:443)
+            w, h = pdfstream.corrected_size(
+                p["width"], p["height"], rotate, angle, applied
+            )
+            meta = {
+                "page_number": int(p["page_number"]),
+                # rotation applied whenever rotate != 0, ignoring the dead
+                # osd_confidence_threshold (SURVEY.md §4).
+                "rotation_applied": rotate,
+                # detected angle reported even when below threshold
+                # (ocr_processor.py:500 reports skew_angles[] raw).
+                "deskew_angle": angle,
+                "width": w,
+                "height": h,
+                "failed": False,
+            }
+            try:
+                words = pdfstream.page_word_records(p)
+            except Exception:
+                meta["failed"] = True  # empty text/conf/blocks, page kept
+                page_meta[d].append(meta)
+                continue
+            page_meta[d].append(meta)
+            pn = meta["page_number"]
+            rec_chunks.append([(d, pn) + tuple(wr) for wr in words])
+            for wr in words:
+                if str(wr[4]).strip():
+                    doc_block_ids.add((pn, int(wr[0])))
+        blocks_kept[d] = len(doc_block_ids)
+
+    # ---- batch-wide columnar passes over the word table -------------
+    if rec_chunks:
+        flat = [row for chunk in rec_chunks for row in chunk]
+        records = pd.DataFrame(flat, columns=_REC_COLS)
+        records["text"] = records["text"].astype(str)
+    else:
+        records = pd.DataFrame(columns=_REC_COLS)
+
+    text_map: dict[tuple[int, int], str] = {}
+    conf_map: dict[tuple[int, int], float] = {}
+    nwords_map: dict[int, int] = {}
+    if len(records):
+        texts = assembly.assemble_text(records)
+        for doc, pn, txt in texts.itertuples(index=False):
+            text_map[(int(doc), int(pn))] = txt
+        confs = assembly.page_confidence(records)
+        for doc, pn, c in confs.itertuples(index=False):
+            conf_map[(int(doc), int(pn))] = float(c)
+        for doc, nw in assembly.word_counts(records).itertuples(index=False):
+            nwords_map[int(doc)] = int(nw)
+    spans_map = (
+        assembly.build_hierarchy(records)
+        if cfg.emit_spans and len(records)
+        else {}
+    )
+
+    # ---- compose per-doc outputs ------------------------------------
+    out_pages: list[list[dict]] = []
+    out_spans: list[list[dict]] = []
+    canonical: list[str] = []
+    avg_conf: list[float] = []
+    total_pages: list[int] = []
+    n_chars: list[int] = []
+
+    for d in range(n):
+        metas = sorted(page_meta[d], key=lambda m: m["page_number"])  # :507
+        pages_out = []
+        spans_out = []
+        page_texts = []
+        for m in metas:
+            key = (d, m["page_number"])
+            failed = m["failed"]
+            txt = "" if failed else text_map.get(key, "")
+            conf = 0.0 if failed else conf_map.get(key, 0.0)
+            pages_out.append(
+                {
+                    "page_number": m["page_number"],
+                    "text": txt,
+                    "confidence": conf,
+                    "rotation_applied": m["rotation_applied"],
+                    "deskew_angle": m["deskew_angle"],
+                    "width": m["width"],
+                    "height": m["height"],
+                }
+            )
+            if cfg.emit_spans:
+                spans_out.append(
+                    {
+                        "page_number": m["page_number"],
+                        "width": m["width"],
+                        "height": m["height"],
+                        "blocks": [] if failed else spans_map.get(key, []),
+                    }
+                )
+            page_texts.append(txt)
+        out_pages.append(pages_out)
+        out_spans.append(spans_out)
+        # document text: pages joined "\n\n" (engine contract — the
+        # reference returns per-page texts only; a single separator rule
+        # makes the document-level column deterministic).
+        canonical.append("\n\n".join(page_texts))
+        avg_conf.append(
+            sum(p["confidence"] for p in pages_out) / len(pages_out)
+            if pages_out
+            else 0.0  # ocr_processor.py:510
+        )
+        total_pages.append(len(pages_out))
+        n_chars.append(sum(len(t) for t in page_texts))
+
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": batch["warc_ts"].values,
+            "lang": batch["lang"].values,
+            "status": status,
+            "error": error,
+            "total_pages": total_pages,
+            "avg_confidence": avg_conf,
+            "canonical_text": canonical,
+            "pages": out_pages,
+            "spans": out_spans,
+            "n_blocks_kept": blocks_kept,
+            "n_blocks_dropped": blocks_dropped,
+            "n_words": [nwords_map.get(d, 0) for d in range(n)],
+            "n_chars": n_chars,
+        }
+    )
+
+
+def kernel_iter(
+    batches: Iterable[pd.DataFrame], cfg: ExtractConfig
+) -> Iterator[pd.DataFrame]:
+    """``mapInPandas`` entrypoint: lazily extract each Arrow batch."""
+    for batch in batches:
+        if len(batch):
+            yield extract_batch(batch, cfg)

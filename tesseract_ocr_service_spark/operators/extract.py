@@ -1,0 +1,183 @@
+"""The extraction pipeline: declarative plan around the fused kernel.
+
+Plan shape (SURVEY.md §3.1 "Spark translation") — one shuffle-free pass:
+
+    scan pages (PartitionFilters on warc_day, ReadSchema w/o `text`)
+      -> native validation predicates (status routing stays relational)
+      -> optional salted repartition (domain-skewed payload sizes)
+      -> mapInPandas(extract_kernel)  # ONE Arrow stage = split..OCR..spans
+      -> project extracted / spans / lineage
+
+Scale design notes (100 TB / 1000 executors):
+- The kernel stage is NARROW: no shuffle is required for extraction
+  itself. The only optional shuffle is the explicit salted repartition,
+  needed when a few domains own most bytes (Zipf web reality) so that a
+  handful of input files don't pin the whole stage on a few tasks. With
+  splittable parquet + AQE this is often unnecessary — it is opt-in.
+- Arrow batches are capped via spark.sql.execution.arrow.maxRecordsPerBatch
+  (fat binary rows; see session_builder) so a batch of ~1 MB payloads
+  stays well inside executor memory.
+- Partition pruning on warc_ts is expressed as a plain filter on the
+  partition column so Catalyst prunes warc_day directories at plan time.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import ExtractConfig
+from ..functions.kernel import kernel_iter
+from ..schema import EXTRACTED_SCHEMA
+
+#: columns the kernel needs — `text` (the raw noise column) is never read,
+#: so parquet column pruning skips it (verify: ReadSchema in explain()).
+KERNEL_INPUT = ("url", "warc_ts", "html", "lang")
+
+
+def session_builder(
+    app: str = "tesseract_ocr_service_spark",
+    master: Optional[str] = None,
+    shuffle_partitions: int = 32,
+    arrow_batch_rows: int = 256,
+):
+    """Opinionated session defaults for this workload.
+
+    - AQE on (runtime coalescing + skew-join splitting, north_rule).
+    - small Arrow batches: pages rows are fat (binary payloads), so the
+      default 10k records/batch would make multi-GB batches at web sizes.
+    - UTC session TZ (duckdb oracle comparison).
+    """
+    b = (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(arrow_batch_rows),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+    )
+    if master:
+        b = b.master(master)
+    return b
+
+
+def read_pages(
+    spark: SparkSession,
+    path: str,
+    ts_from=None,
+    ts_to=None,
+) -> DataFrame:
+    """Scan the pages table with explicit warc_ts partition pruning.
+
+    The table is written partitioned by ``warc_day=date(warc_ts)``
+    (Iceberg stand-in; no Iceberg jars offline — SURVEY.md §1.4). A
+    filter on ``warc_day`` is a PartitionFilter: pruned directories are
+    never listed/opened, the Iceberg behavior the north_rule names.
+    """
+    df = spark.read.parquet(path)
+    if ts_from is not None:
+        df = df.where(F.col("warc_day") >= F.lit(str(ts_from)))
+    if ts_to is not None:
+        df = df.where(F.col("warc_day") <= F.lit(str(ts_to)))
+    return df
+
+
+def extract(
+    pages: DataFrame,
+    cfg: ExtractConfig = ExtractConfig(),
+    salt_partitions: int = 0,
+    languages: Optional[tuple[str, ...]] = None,
+) -> DataFrame:
+    """pages -> one wide extracted row per document (EXTRACTED_SCHEMA).
+
+    ``salt_partitions`` > 0 adds an explicit hash(url)-salted repartition
+    before the kernel — breaks up domain-skewed input splits (a hot
+    domain's fat pages land in one parquet file otherwise). 0 = narrow
+    plan, rely on splittable parquet + AQE.
+
+    ``languages`` optionally gates rows by the `lang` column (the
+    reference's language config, ocr/schemas.py:38-41, as a relational
+    predicate per SURVEY.md D7) — a pushed-down filter, not kernel work.
+    """
+    df = pages.select(*KERNEL_INPUT)
+    if languages:
+        df = df.where(F.col("lang").isin(list(languages)))
+    if salt_partitions > 0:
+        # explicit skew control: uniform hash of the unique key ->
+        # near-perfectly even partitions regardless of domain skew.
+        df = df.repartition(salt_partitions, F.xxhash64("url"))
+    return df.mapInPandas(
+        functools.partial(kernel_iter, cfg=cfg), schema=EXTRACTED_SCHEMA
+    )
+
+
+def extracted_view(wide: DataFrame) -> DataFrame:
+    """Output table 1 `extracted` (SURVEY.md §1.4) — drops spans."""
+    return wide.select(
+        "url",
+        "warc_ts",
+        F.col("url").alias("doc_id"),  # deterministic key (uuid4 delta)
+        "status",
+        "error",
+        "total_pages",
+        "avg_confidence",
+        "canonical_text",
+        "pages",
+    )
+
+
+def spans_view(wide: DataFrame) -> DataFrame:
+    """Output table 2 `spans` — the 5-level hierarchy per url
+    (coordinates_store.py:27-58 made persistent + deterministic)."""
+    return wide.select("url", "warc_ts", "spans")
+
+
+def lineage_view(wide: DataFrame) -> DataFrame:
+    """Output table 3 `lineage` — per-warc_day counters (the reference
+    logs these per request, ocr_processor.py:463-475,512-527)."""
+    return (
+        wide.groupBy(F.date_format("warc_ts", "yyyy-MM-dd").alias("warc_day"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("status") == "ok", 1)).alias("n_ok"),
+            F.count(F.when(F.col("status") == "rejected", 1)).alias(
+                "n_rejected"
+            ),
+            F.count(F.when(F.col("status") == "error", 1)).alias("n_error"),
+            F.count(F.when(F.col("status") == "empty", 1)).alias("n_empty"),
+            F.sum("total_pages").alias("n_pages"),
+            F.sum("n_blocks_kept").alias("n_blocks_kept"),
+            F.sum("n_blocks_dropped").alias("n_blocks_dropped"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+def lookup_spans(spark: SparkSession, spans_path: str, url: str) -> DataFrame:
+    """Point lookup: url -> full hierarchy (GET /documents/{id}/coordinates,
+    ocr/main.py:198-228; store get at coordinates_store.py:61-78).
+    Partition-pruned + min/max-skipped parquet read, no shuffle."""
+    return spark.read.parquet(spans_path).where(F.col("url") == F.lit(url))
+
+
+def store_stats(extracted: DataFrame) -> DataFrame:
+    """GET /documents/stats analog (coordinates_store.py:81-110): count +
+    oldest/newest document by timestamp."""
+    return extracted.agg(
+        F.count("*").alias("total_documents"),
+        F.min("warc_ts").alias("oldest_ts"),
+        F.max("warc_ts").alias("newest_ts"),
+        F.min_by("url", "warc_ts").alias("oldest_url"),
+        F.max_by("url", "warc_ts").alias("newest_url"),
+    )

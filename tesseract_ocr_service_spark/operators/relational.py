@@ -1,0 +1,225 @@
+"""Relational analogs of the reference operators (SURVEY.md §2) over the
+driver's TPC-H-ish tables — each is SQL-expressible so DuckDB can oracle-
+check it (``__spark_entry__.oracle_sql``).
+
+Float-hash discipline: every aggregate that the driver value-hashes is
+either integral (cents via round(x*100)->bigint), a string, or a double
+rounded identically on both sides — so cross-engine summation order
+cannot flip a hash bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A1 (relational form): canonical assembly over a synthesized word
+# table. Tokens of each document become word records with block =
+# (rn-1)//24 + 1 and line = ((rn-1) % 24)//6 + 1 (4 lines of 6 per
+# block); lines join " ", blocks' lines join "\n", blocks join "\n\n" —
+# exactly the contract of ocr_processor.py:116-168, expressed as
+# cascaded groupBy + sort_array (O2: explicit sorts, never rely on
+# collect_list order).
+def assembly_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")
+    )
+    words = toks.select(
+        "doc_id",
+        "tok",
+        rn.alias("rn"),
+    ).select(
+        "doc_id",
+        "tok",
+        "rn",
+        (((F.col("rn") - 1) / 24).cast("int") + 1).alias("block_num"),
+        ((((F.col("rn") - 1) % 24) / 6).cast("int") + 1).alias("line_num"),
+    )
+    lines = words.groupBy("doc_id", "block_num", "line_num").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("line_text")
+    )
+    blocks = lines.groupBy("doc_id", "block_num").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_num", "line_text"))),
+                lambda x: x["line_text"],
+            ),
+            "\n",
+        ).alias("block_text")
+    )
+    return blocks.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_num", "block_text"))),
+                lambda x: x["block_text"],
+            ),
+            "\n\n",
+        ).alias("assembled_text")
+    )
+
+
+# --- A2/F2: confidence mean over conf >= 0 only (ocr_processor.py:87-93),
+# with (value - 10) as the conf analog so negatives exist.
+def confidence_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    conf = F.col("value") - F.lit(10.0)
+    return ev.groupBy("event_type").agg(
+        F.coalesce(
+            F.round(F.avg(F.when(conf >= 0, conf)), 4), F.lit(0.0)
+        ).alias("avg_conf"),
+        F.count(F.when(conf >= 0, 1)).alias("n_conf"),
+        F.count("*").alias("n_total"),
+    )
+
+
+# --- A4/A5: envelope bbox roll-up (min/max aggregation cascade,
+# ocr_processor.py:283-322) with lineitem ints as coordinates.
+def bbox_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("left"),
+        F.col("l_quantity").cast("bigint").alias("top"),
+        (F.col("l_linenumber") + F.col("l_quantity").cast("bigint")).alias(
+            "right_edge"
+        ),
+        (F.col("l_quantity").cast("bigint") * 2).alias("bottom_edge"),
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.min("left").alias("bb_left"),
+        F.min("top").alias("bb_top"),
+        F.max("right_edge").alias("bb_right"),
+        F.max("bottom_edge").alias("bb_bottom"),
+    )
+
+
+# --- S10: store stats — count + oldest/newest (coordinates_store.py:81-110).
+def store_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return ev.agg(
+        F.count("*").alias("total_documents"),
+        F.date_format(F.min("ts"), fmt).alias("oldest_ts"),
+        F.date_format(F.max("ts"), fmt).alias("newest_ts"),
+        F.min_by("event_id", "ts").alias("oldest_id"),
+        F.max_by("event_id", "ts").alias("newest_id"),
+    )
+
+
+# --- O1/O2: deterministic ordered traversal — page sort analog
+# (ocr_processor.py:507; sorted(keys) :157-160).
+def sorted_order_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("o_orderkey"))
+        ).alias("orders_csv"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- F1: empty-word filter (ocr_processor.py:137-138).
+def nonempty_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")  # duckdb len() is BIGINT — keep schemas aligned
+        .alias("n_words"),
+    )
+
+
+# --- S1/partition-pruning analog: time-window scan + daily rollup
+# (warc_ts pruning; sums kept integral as cents).
+def ts_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(
+            (F.col("ts") >= F.lit("2024-01-10"))
+            & (F.col("ts") < F.lit("2024-01-20"))
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "sum_cents"
+            ),
+        )
+    )
+
+
+# --- S3: validation routing — size/magic gates become status columns
+# (ocr/main.py:335-390), emulated over documents.
+def validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(
+            F.col("text").isNull() | (F.length("text") == 0), "rejected"
+        )
+        .when(F.col("n_chars") > 380, "oversize")
+        .otherwise("ok")
+    )
+    return docs.select(status.alias("status")).groupBy("status").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# --- Showcase joins/aggs the engine inherits from Catalyst: TPC-H Q1
+# shape (cents-integral) and a broadcast join top-k.
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(
+                (
+                    cents("l_extendedprice")
+                    * (F.lit(100) - cents("l_discount"))
+                )
+            ).alias("sum_disc_units"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def top_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join chain: region ⋈ nation ⋈ customer ⋈ orders,
+    top-5 customers per region by order count (window top-k)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    counts = joined.groupBy("r_name", "c_custkey").agg(
+        F.count("*").alias("n_orders")
+    )
+    w = Window.partitionBy("r_name").orderBy(
+        F.desc("n_orders"), F.asc("c_custkey")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("r_name", "c_custkey", "n_orders", "rank")
+    )

@@ -1,0 +1,281 @@
+"""Kernel tests: routing, HTML boilerplate rules, PDF path semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from tesseract_ocr_service_spark.config import ExtractConfig
+from tesseract_ocr_service_spark.functions import htmlx, kernel, pdfstream
+
+from . import oracle
+
+CFG = ExtractConfig()
+
+
+def run(payloads: list[bytes | None], cfg: ExtractConfig = CFG) -> pd.DataFrame:
+    batch = pd.DataFrame(
+        {
+            "url": [f"https://t.example/{i}" for i in range(len(payloads))],
+            "warc_ts": pd.Timestamp("2026-01-05"),
+            "html": payloads,
+            "lang": "eng",
+        }
+    )
+    return kernel.extract_batch(batch, cfg)
+
+
+def one(payload: bytes, cfg: ExtractConfig = CFG) -> pd.Series:
+    return run([payload], cfg).iloc[0]
+
+
+# ------------------------------------------------------------- routing
+
+
+def test_routing_and_rejection():
+    out = run(
+        [
+            None,
+            b"",
+            b"\x89PNG garbage",
+            b"  <html><body><p>three word block</p></body></html>",
+            pdfstream.encode([]),
+        ]
+    )
+    assert list(out["status"]) == [
+        "rejected",
+        "rejected",
+        "rejected",
+        "ok",
+        "empty",
+    ]
+    assert out.loc[2, "error"] == "invalid_payload"
+    assert out.loc[4, "error"] == "no pages to process"
+    # rejected rows keep the document-shaped empty outputs
+    assert out.loc[0, "total_pages"] == 0
+    assert out.loc[0, "canonical_text"] == ""
+    assert out.loc[0, "avg_confidence"] == 0.0
+
+
+def test_oversize_rejected():
+    cfg = ExtractConfig(max_file_size_mb=1)
+    big = b"<html>" + b"x" * (1024 * 1024 + 1)
+    assert one(big, cfg)["error"] == "file_too_large"
+    # exactly at the limit passes the gate (reference: > max_size, main.py:374)
+    at_limit = (b"<p>at the limit ok</p>" + b" " * (1024 * 1024))[: 1024 * 1024]
+    assert one(at_limit, cfg)["status"] == "ok"
+
+
+# ------------------------------------------------------------ html path
+
+
+def H(body: str) -> bytes:
+    return f"<html><body>{body}</body></html>".encode("utf-8")
+
+
+def test_html_boilerplate_rules():
+    row = one(
+        H(
+            "<nav>home <a href='/'>about</a> contact</nav>"
+            "<h1>Title Here</h1>"
+            "<p>main content body with several meaningful words</p>"
+            '<div><a href="a">one</a> <a href="b">two</a> word</div>'  # link dens 2/3
+            "<p>no</p>"  # < 3 words -> dropped
+            "<footer>copyright 2026</footer>"
+            "<script>var x = 'dropped always';</script>"
+        )
+    )
+    assert row["status"] == "ok"
+    assert (
+        row["canonical_text"]
+        == "Title Here\n\nmain content body with several meaningful words"
+    )
+    assert row["n_blocks_kept"] == 2
+    assert row["n_blocks_dropped"] == 4
+    assert row["avg_confidence"] == pytest.approx(95.0)
+
+
+def test_html_line_wrap_every_12_words():
+    words = [f"w{i:02d}" for i in range(30)]
+    row = one(H("<p>" + " ".join(words) + "</p>"))
+    expected = "\n".join(
+        " ".join(words[i : i + 12]) for i in range(0, 30, 12)
+    )
+    assert row["canonical_text"] == expected
+    page = row["pages"][0]
+    assert page["width"] == htmlx.PAGE_W
+    assert page["height"] == 3 * htmlx.LINE_H  # 3 lines
+
+
+def test_html_entities_roundtrip():
+    raw = 'x < y & "z" > w\'s &clause'
+    row = one(H("<p>" + htmlx.escape(raw) + "</p>"))
+    assert row["canonical_text"] == raw
+
+
+def test_html_unicode_content():
+    row = one(H("<p>Привет мир 中文 désolé test</p>"))
+    assert row["canonical_text"].encode("utf-8") == (
+        "Привет мир 中文 désolé test".encode("utf-8")
+    )
+
+
+def test_html_spans_geometry():
+    row = one(H("<p>alpha beta gamma</p>"))
+    blocks = row["spans"][0]["blocks"]
+    assert len(blocks) == 1
+    words = blocks[0]["paragraphs"][0]["lines"][0]["words"]
+    assert [w["text"] for w in words] == ["alpha", "beta", "gamma"]
+    assert words[1]["left"] == htmlx.COL_W
+    assert words[0]["width"] == 5 * htmlx.CHAR_W
+    assert all(w["conf"] == CFG.html_word_conf for w in words)
+
+
+# ------------------------------------------------------------- pdf path
+
+
+def P(words, page=1, w=1000, h=1400, rotate=0, skew=0.0, poison=False):
+    return {
+        "page_number": page,
+        "width": w,
+        "height": h,
+        "rotate": rotate,
+        "skew_angle": skew,
+        "poison": poison,
+        "words": words,
+    }
+
+
+W = lambda b, p, ln, wn, t, conf=77: (b, p, ln, wn, t, 10 * wn, 20 * ln, 8 * len(t), 18, conf)
+
+
+def test_pdf_assembly_matches_oracle():
+    words = [
+        W(1, 1, 1, 1, "Hello"),
+        W(1, 1, 1, 2, "world"),
+        W(1, 1, 2, 1, "line2"),
+        W(2, 1, 1, 1, "block2", conf=-1),
+        W(1, 2, 1, 1, "par2"),
+        W(1, 1, 1, 3, "  "),  # empty -> skipped in text, absent from conf<0? conf=77 counts
+    ]
+    row = one(pdfstream.encode([P(words)]))
+    recs = [
+        dict(
+            block_num=b, par_num=p, line_num=ln, text=t,
+            left=l, top=tp, width=wd, height=hg, conf=c,
+        )
+        for (b, p, ln, wn, t, l, tp, wd, hg, c) in words
+    ]
+    assert row["canonical_text"] == oracle.assemble_text(recs)
+    assert row["avg_confidence"] == pytest.approx(oracle.page_confidence(recs))
+    assert row["spans"][0]["blocks"] == oracle.hierarchy(recs)
+    assert row["status"] == "ok"
+
+
+def test_pdf_multipage_sort_and_doc_text():
+    doc = pdfstream.encode(
+        [
+            P([W(1, 1, 1, 1, "pageTWO")], page=2),
+            P([W(1, 1, 1, 1, "pageONE")], page=1),
+        ]
+    )
+    row = one(doc)
+    assert [p["page_number"] for p in row["pages"]] == [1, 2]  # sort :507
+    assert row["canonical_text"] == "pageONE\n\npageTWO"
+    assert row["total_pages"] == 2
+
+
+def test_page_selection_priority():
+    doc = pdfstream.encode([P([W(1, 1, 1, 1, f"p{i}")], page=i) for i in (1, 2, 3, 4, 5)])
+    # explicit list wins over range (ocr/schemas.py:26-29)
+    cfg = ExtractConfig(pages=(1, 4), page_start=2, page_end=3)
+    row = one(doc, cfg)
+    assert [p["page_number"] for p in row["pages"]] == [1, 4]
+    # range when no list
+    cfg = ExtractConfig(page_start=2, page_end=3)
+    assert [p["page_number"] for p in one(doc, cfg)["pages"]] == [2, 3]
+    # open-ended range
+    cfg = ExtractConfig(page_start=4)
+    assert [p["page_number"] for p in one(doc, cfg)["pages"]] == [4, 5]
+    cfg = ExtractConfig(page_end=2)
+    assert [p["page_number"] for p in one(doc, cfg)["pages"]] == [1, 2]
+    # selection that excludes everything -> empty status
+    cfg = ExtractConfig(pages=(99,))
+    assert one(doc, cfg)["status"] == "empty"
+
+
+def test_rotation_bookkeeping_and_size_swap():
+    doc = pdfstream.encode(
+        [P([W(1, 1, 1, 1, "x")], rotate=90, w=1000, h=1400)]
+    )
+    page = one(doc)["pages"][0]
+    assert page["rotation_applied"] == 90
+    assert (page["width"], page["height"]) == (1400, 1000)
+
+
+def test_deskew_threshold_strictly_greater():
+    mk = lambda a: pdfstream.encode([P([W(1, 1, 1, 1, "x")], skew=a, w=1000, h=1000)])
+    # at exactly 0.3 NOT applied (ocr_processor.py:443 strict >)
+    page = one(mk(0.3))["pages"][0]
+    assert page["deskew_angle"] == pytest.approx(0.3)  # reported raw (:500)
+    assert (page["width"], page["height"]) == (1000, 1000)
+    # above threshold: canvas expands
+    page = one(mk(-2.0))["pages"][0]
+    a = math.radians(2.0)
+    exp = int(round(1000 * math.cos(a) + 1000 * math.sin(a)))
+    assert (page["width"], page["height"]) == (exp, exp)
+    assert page["deskew_angle"] == pytest.approx(-2.0)
+
+
+def test_page_failure_isolation():
+    doc = pdfstream.encode(
+        [
+            P([W(1, 1, 1, 1, "good")], page=1),
+            P([W(1, 1, 1, 1, "never")], page=2, poison=True),
+        ]
+    )
+    row = one(doc)
+    assert row["status"] == "ok"
+    p1, p2 = row["pages"]
+    assert p1["text"] == "good"
+    assert p2["text"] == "" and p2["confidence"] == 0.0
+    assert row["spans"][1]["blocks"] == []
+    # avg over pages INCLUDES the failed page's 0.0 (ocr_processor.py:510)
+    assert row["avg_confidence"] == pytest.approx(77.0 / 2)
+
+
+def test_doc_level_poison_is_error_row():
+    doc = pdfstream.encode([P([W(1, 1, 1, 1, "x")])], poison_doc=True)
+    row = one(doc)
+    assert row["status"] == "error"
+    assert row["total_pages"] == 0 and row["pages"] == []
+    assert pdfstream.POISON_DOC in row["error"]
+
+
+def test_block_counters_pdf():
+    words = [W(1, 1, 1, 1, "a"), W(3, 1, 1, 1, "b"), W(5, 1, 1, 1, "  ")]
+    row = one(pdfstream.encode([P(words)]))
+    assert row["n_blocks_kept"] == 2  # block 5 has only empty text
+    assert row["n_words"] == 2
+    assert row["n_chars"] == len("a\n\nb")
+
+
+def test_batch_mixed_kinds_alignment():
+    """Outputs stay row-aligned when kinds interleave in one batch."""
+    out = run(
+        [
+            H("<p>first html doc</p>"),
+            pdfstream.encode([P([W(1, 1, 1, 1, "pdfdoc")])]),
+            b"junk",
+            H("<p>second html doc</p>"),
+        ]
+    )
+    assert list(out["canonical_text"]) == [
+        "first html doc",
+        "pdfdoc",
+        "",
+        "second html doc",
+    ]
+    assert list(out["status"]) == ["ok", "ok", "rejected", "ok"]
