@@ -1,8 +1,8 @@
 """The canonical-text / coordinates / confidence contract, vectorized.
 
 This is THE byte-identity contract of the engine, a from-scratch
-vectorized reimplementation of the reference's single-page routines over
-a *batch* word table (many documents, many pages at once):
+reimplementation of the reference's single-page routines over a *batch*
+word table (many documents, many pages at once):
 
 - text assembly   — reference ``ocr/services/ocr_processor.py:116-168``:
   group word records by (block_num, par_num, line_num); within a line,
@@ -17,11 +17,14 @@ a *batch* word table (many documents, many pages at once):
   paragraphs -> blocks with envelope bboxes at each level, children in
   sorted id order; word conf clamped to 0 when negative (:215).
 
-The reference runs these per page inside a ProcessPoolExecutor worker;
-here one pandas pass handles every page of every document in the Arrow
-batch — grouping/sorting/bbox math is columnar, only the final string
-joins and the nested-struct build touch Python objects (O(#groups),
-O(#words) respectively).
+Execution shape: grouping order comes from ONE stable columnar sort;
+bbox envelopes are columnar min/max groupbys; then a single fused
+O(#words) pass emits page texts AND the nested hierarchy by detecting
+group boundaries positionally (equivalent to — and an order of
+magnitude faster than — a 3-level pandas groupby-join cascade, since
+the separator between consecutive words is a pure function of which
+key level changed: new block -> "\\n\\n", new (par,line) -> "\\n",
+else " ").
 """
 
 from __future__ import annotations
@@ -38,49 +41,193 @@ def _prepared(words: pd.DataFrame) -> pd.DataFrame:
 
     Sorting by the numeric hierarchy keys reproduces the reference's
     ``sorted(keys)`` traversal (ocr_processor.py:157-160,231-237);
-    ``kind='stable'`` preserves arrival order within a line, matching the
-    reference's append-in-input-order (:152,:226).
+    ``kind='stable'`` preserves arrival order within a line, matching
+    the reference's append-in-input-order (:152,:226).
     """
-    w = words
-    stripped = w["text"].str.strip()
-    w = w.loc[stripped.ne("")].copy()
-    w["text"] = stripped[stripped.ne("")]
+    stripped = words["text"].str.strip()
+    keep = stripped.ne("")
+    w = words.loc[keep].copy()
+    w["text"] = stripped[keep]
     return w.sort_values(_KEY, kind="stable", ignore_index=True)
 
 
-def assemble_text(words: pd.DataFrame) -> pd.DataFrame:
-    """Per-(doc, page) canonical text from a batch word table.
+def _bbox_level(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
+    """Envelope bbox per group: min(left), min(top), max(right),
+    max(bottom) (ocr_processor.py:283-322)."""
+    return (
+        df.groupby(keys, sort=False)
+        .agg(
+            left=("left", "min"),
+            top=("top", "min"),
+            right=("right", "max"),
+            bottom=("bottom", "max"),
+        )
+        .reset_index()
+    )
 
-    Parameters: columns ``doc`` (batch-local doc index), ``page_number``,
-    ``block_num``, ``par_num``, ``line_num``, ``text`` — rows in arrival
-    order (the caller must preserve source record order).
 
-    Returns DataFrame[doc, page_number, text]. Pages with no non-empty
-    words are absent (caller fills "" — reference returns "" for an empty
-    assembly since "\\n\\n".join([]) == "").
+def _index_bboxes(df: pd.DataFrame, keys: list[str]) -> dict:
+    cols = [df[k].to_numpy() for k in keys]
+    l, t = df["left"].to_numpy(), df["top"].to_numpy()
+    r, b = df["right"].to_numpy(), df["bottom"].to_numpy()
+    return {
+        tuple(int(c[i]) for c in cols): {
+            "left": int(l[i]),
+            "top": int(t[i]),
+            "right": int(r[i]),
+            "bottom": int(b[i]),
+        }
+        for i in range(len(df))
+    }
+
+
+def assemble_pages(
+    words: pd.DataFrame, emit_spans: bool = True
+) -> tuple[dict[tuple[int, int], str], dict[tuple[int, int], list[dict]]]:
+    """Fused single pass: per-(doc, page) canonical text + (optionally)
+    the nested blocks hierarchy.
+
+    `words` columns: doc, page_number, block_num, par_num, line_num,
+    text, left, top, width, height, conf — rows in arrival order.
+    Returns (text_map, spans_map); pages with no non-empty words are
+    absent from both (callers fill ""/[]).
     """
     w = _prepared(words)
     if w.empty:
-        return pd.DataFrame({"doc": [], "page_number": [], "text": []})
+        return {}, {}
 
-    # line level: words joined by " " (ocr_processor.py:162)
-    lines = (
-        w.groupby(_KEY, sort=False)["text"].agg(" ".join).reset_index()
-    )
-    # block level: lines joined "\n" — paragraphs add NO extra separator
-    # (block_lines accumulates across pars, ocr_processor.py:159-165)
-    blocks = (
-        lines.groupby(["doc", "page_number", "block_num"], sort=False)["text"]
-        .agg("\n".join)
-        .reset_index()
-    )
-    # page level: blocks joined "\n\n" (ocr_processor.py:168)
-    pages = (
-        blocks.groupby(["doc", "page_number"], sort=False)["text"]
-        .agg("\n\n".join)
-        .reset_index()
-    )
-    return pages
+    if emit_spans:
+        w["right"] = w["left"] + w["width"]
+        w["bottom"] = w["top"] + w["height"]
+        w["conf"] = w["conf"].clip(lower=0)
+        line_bbox = _index_bboxes(_bbox_level(w, _KEY), _KEY)
+        par_bb = _bbox_level(_bbox_level(w, _KEY), _KEY[:4])
+        par_bbox = _index_bboxes(par_bb, _KEY[:4])
+        blk_bbox = _index_bboxes(_bbox_level(par_bb, _KEY[:3]), _KEY[:3])
+
+    doc_a = w["doc"].to_numpy()
+    page_a = w["page_number"].to_numpy()
+    blk_a = w["block_num"].to_numpy()
+    par_a = w["par_num"].to_numpy()
+    line_a = w["line_num"].to_numpy()
+    text_a = w["text"].to_numpy()
+    if emit_spans:
+        left_a = w["left"].to_numpy()
+        top_a = w["top"].to_numpy()
+        wid_a = w["width"].to_numpy()
+        hgt_a = w["height"].to_numpy()
+        conf_a = w["conf"].to_numpy()
+
+    # boundary detection, vectorized: which key level changed vs prev row
+    n = len(w)
+    new_page = np.ones(n, dtype=bool)
+    new_page[1:] = (doc_a[1:] != doc_a[:-1]) | (page_a[1:] != page_a[:-1])
+    new_block = new_page.copy()
+    new_block[1:] |= blk_a[1:] != blk_a[:-1]
+    new_line = new_block.copy()
+    new_line[1:] |= (par_a[1:] != par_a[:-1]) | (line_a[1:] != line_a[:-1])
+
+    text_map: dict[tuple[int, int], str] = {}
+    spans_map: dict[tuple[int, int], list[dict]] = {}
+
+    pieces: list[str] = []
+    page_key = None
+    blocks = pars = lines = line_words = line_piece_start = None
+
+    def _close_page() -> None:
+        if page_key is not None:
+            text_map[page_key] = "".join(pieces)
+
+    def _close_line() -> None:
+        # line text = " ".join(word texts) (ocr_processor.py:242) — the
+        # page pieces since line start are exactly those words + " " seps
+        if emit_spans and lines:
+            lines[-1]["text"] = "".join(pieces[line_piece_start:])
+
+    for i in range(n):
+        if new_line[i]:
+            _close_line()
+        if new_page[i]:
+            _close_page()
+            page_key = (int(doc_a[i]), int(page_a[i]))
+            pieces = []
+            if emit_spans:
+                blocks = spans_map.setdefault(page_key, [])
+        elif new_block[i]:
+            pieces.append("\n\n")
+        elif new_line[i]:
+            pieces.append("\n")
+        else:
+            pieces.append(" ")
+
+        if emit_spans:
+            if new_block[i]:
+                pars = []
+                blocks.append(
+                    {
+                        "block_id": int(blk_a[i]),
+                        "bbox": blk_bbox[page_key + (int(blk_a[i]),)],
+                        "paragraphs": pars,
+                    }
+                )
+                new_par = True
+            else:
+                new_par = par_a[i] != par_a[i - 1]
+            if new_par:
+                key4 = page_key + (int(blk_a[i]), int(par_a[i]))
+                lines = []
+                pars.append(
+                    {"par_id": int(par_a[i]), "bbox": par_bbox[key4], "lines": lines}
+                )
+            if new_line[i]:
+                key5 = page_key + (
+                    int(blk_a[i]),
+                    int(par_a[i]),
+                    int(line_a[i]),
+                )
+                line_words = []
+                line_piece_start = len(pieces)
+                lines.append(
+                    {
+                        "line_id": int(line_a[i]),
+                        "text": None,
+                        "bbox": line_bbox[key5],
+                        "words": line_words,
+                    }
+                )
+            line_words.append(
+                {
+                    "text": str(text_a[i]),
+                    "left": int(left_a[i]),
+                    "top": int(top_a[i]),
+                    "width": int(wid_a[i]),
+                    "height": int(hgt_a[i]),
+                    "conf": int(conf_a[i]),
+                }
+            )
+
+        pieces.append(str(text_a[i]))
+
+    _close_line()
+    _close_page()
+    return text_map, spans_map
+
+
+def assemble_text(words: pd.DataFrame) -> pd.DataFrame:
+    """Per-(doc, page) canonical text -> DataFrame[doc, page_number,
+    text] (unit-test surface over :func:`assemble_pages`)."""
+    text_map, _ = assemble_pages(words, emit_spans=False)
+    if not text_map:
+        return pd.DataFrame({"doc": [], "page_number": [], "text": []})
+    rows = [(d, p, t) for (d, p), t in text_map.items()]
+    return pd.DataFrame(rows, columns=["doc", "page_number", "text"])
+
+
+def build_hierarchy(words: pd.DataFrame) -> dict[tuple[int, int], list[dict]]:
+    """Nested blocks->paragraphs->lines->words per (doc, page_number)
+    (unit-test surface over :func:`assemble_pages`)."""
+    _, spans_map = assemble_pages(words, emit_spans=True)
+    return spans_map
 
 
 def page_confidence(records: pd.DataFrame) -> pd.DataFrame:
@@ -95,146 +242,13 @@ def page_confidence(records: pd.DataFrame) -> pd.DataFrame:
     r = records.loc[records["conf"] >= 0, ["doc", "page_number", "conf"]]
     if r.empty:
         return pd.DataFrame({"doc": [], "page_number": [], "confidence": []})
-    out = (
+    return (
         r.astype({"conf": "int64"})
         .groupby(["doc", "page_number"], sort=True)["conf"]
         .mean()
         .reset_index()
         .rename(columns={"conf": "confidence"})
     )
-    return out
-
-
-def _bbox_level(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
-    """Envelope bbox per group: min(left), min(top), max(right), max(bottom)
-    (ocr_processor.py:283-322)."""
-    return (
-        df.groupby(keys, sort=False)
-        .agg(
-            left=("left", "min"),
-            top=("top", "min"),
-            right=("right", "max"),
-            bottom=("bottom", "max"),
-        )
-        .reset_index()
-    )
-
-
-def build_hierarchy(words: pd.DataFrame) -> dict[tuple[int, int], list[dict]]:
-    """Nested blocks->paragraphs->lines->words per (doc, page_number).
-
-    Returns {(doc, page_number): [block structs...]} where the structs
-    follow ``schema.BLOCK``. Word conf is clamped to 0 when negative
-    (ocr_processor.py:215). Pages absent from the result have no blocks
-    (reference emits blocks=[] on empty/error pages, :100-105).
-
-    bbox math is columnar (min/max groupbys); the final nesting is one
-    ordered O(#words) pass.
-    """
-    w = _prepared(words)
-    if w.empty:
-        return {}
-
-    w["right"] = w["left"] + w["width"]
-    w["bottom"] = w["top"] + w["height"]
-    w["conf"] = w["conf"].clip(lower=0)
-
-    # envelope bboxes at each level, computed columnar then dict-indexed
-    line_bb = _bbox_level(w, _KEY)
-    par_bb = _bbox_level(line_bb, _KEY[:4])
-    blk_bb = _bbox_level(par_bb, _KEY[:3])
-
-    def _index(df: pd.DataFrame, keys: list[str]) -> dict:
-        cols = [df[k].to_numpy() for k in keys]
-        l, t = df["left"].to_numpy(), df["top"].to_numpy()
-        r, b = df["right"].to_numpy(), df["bottom"].to_numpy()
-        return {
-            tuple(int(c[i]) for c in cols): {
-                "left": int(l[i]),
-                "top": int(t[i]),
-                "right": int(r[i]),
-                "bottom": int(b[i]),
-            }
-            for i in range(len(df))
-        }
-
-    line_bbox = _index(line_bb, _KEY)
-    par_bbox = _index(par_bb, _KEY[:4])
-    blk_bbox = _index(blk_bb, _KEY[:3])
-
-    out: dict[tuple[int, int], list[dict]] = {}
-    # single ordered pass — w is already in traversal order
-    doc_a = w["doc"].to_numpy()
-    page_a = w["page_number"].to_numpy()
-    blk_a = w["block_num"].to_numpy()
-    par_a = w["par_num"].to_numpy()
-    line_a = w["line_num"].to_numpy()
-    text_a = w["text"].to_numpy()
-    left_a = w["left"].to_numpy()
-    top_a = w["top"].to_numpy()
-    wid_a = w["width"].to_numpy()
-    hgt_a = w["height"].to_numpy()
-    conf_a = w["conf"].to_numpy()
-
-    cur = None  # (doc, page, block, par, line)
-    blocks = pars = lines = line_words = None
-    for i in range(len(w)):
-        key = (
-            int(doc_a[i]),
-            int(page_a[i]),
-            int(blk_a[i]),
-            int(par_a[i]),
-            int(line_a[i]),
-        )
-        if cur is None or key[:2] != cur[:2]:
-            blocks = out.setdefault(key[:2], [])
-            pars = lines = None
-        if cur is None or key[:3] != cur[:3]:
-            pars = []
-            blocks.append(
-                {
-                    "block_id": key[2],
-                    "bbox": blk_bbox[key[:3]],
-                    "paragraphs": pars,
-                }
-            )
-            lines = None
-        if cur is None or key[:4] != cur[:4]:
-            lines = []
-            pars.append(
-                {"par_id": key[3], "bbox": par_bbox[key[:4]], "lines": lines}
-            )
-        if cur is None or key != cur:
-            line_words = []
-            lines.append(
-                {
-                    "line_id": key[4],
-                    "text": None,  # filled below from the joined words
-                    "bbox": line_bbox[key],
-                    "words": line_words,
-                }
-            )
-        line_words.append(
-            {
-                "text": str(text_a[i]),
-                "left": int(left_a[i]),
-                "top": int(top_a[i]),
-                "width": int(wid_a[i]),
-                "height": int(hgt_a[i]),
-                "conf": int(conf_a[i]),
-            }
-        )
-        cur = key
-
-    # line text = " ".join(word texts) (ocr_processor.py:242)
-    for blocks in out.values():
-        for blk in blocks:
-            for par in blk["paragraphs"]:
-                for line in par["lines"]:
-                    line["text"] = " ".join(
-                        wd["text"] for wd in line["words"]
-                    )
-    return out
 
 
 def word_counts(words: pd.DataFrame) -> pd.DataFrame:

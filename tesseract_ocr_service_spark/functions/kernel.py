@@ -218,22 +218,19 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         records = pd.DataFrame(columns=_REC_COLS)
 
     text_map: dict[tuple[int, int], str] = {}
+    spans_map: dict[tuple[int, int], list[dict]] = {}
     conf_map: dict[tuple[int, int], float] = {}
     nwords_map: dict[int, int] = {}
     if len(records):
-        texts = assembly.assemble_text(records)
-        for doc, pn, txt in texts.itertuples(index=False):
-            text_map[(int(doc), int(pn))] = txt
+        # one fused pass builds page texts + hierarchy together
+        text_map, spans_map = assembly.assemble_pages(
+            records, emit_spans=cfg.emit_spans
+        )
         confs = assembly.page_confidence(records)
         for doc, pn, c in confs.itertuples(index=False):
             conf_map[(int(doc), int(pn))] = float(c)
         for doc, nw in assembly.word_counts(records).itertuples(index=False):
             nwords_map[int(doc)] = int(nw)
-    spans_map = (
-        assembly.build_hierarchy(records)
-        if cfg.emit_spans and len(records)
-        else {}
-    )
 
     # ---- compose per-doc outputs ------------------------------------
     out_pages: list[list[dict]] = []

@@ -1,0 +1,175 @@
+"""Text analysis for training-data pipelines — all native Catalyst
+column expressions (JVM-side, whole-stage-codegen'd; zero Python).
+
+Operators: language ID (char-class n-gram heuristic), quality scoring
+(length / punctuation / stopword / repetition ratios), token counting
+(whitespace + BPE-ish regex), document fingerprinting (normalized-text
+hash + rolling shingle hash), simhash (64-bit, xxhash64 token votes).
+
+These run over the `extracted.canonical_text` output of the kernel (or
+any text column) at full scan speed — important at 10^12 docs where a
+Python hop per row would dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- tokens
+
+_WS = r"\s+"
+#: BPE-ish pretokenizer: letter runs | digit runs | single non-space symbol
+BPE_ISH = r"[A-Za-zÀ-ɏЀ-ӿ]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empties dropped (kernel tokenization rule)."""
+    return F.filter(F.split(col, _WS), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word-ish token count via the BPE-style pretokenizer regex."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH), 0)).cast("bigint")
+
+
+# ------------------------------------------------------------ lang id
+
+#: char-class counts per script — a deterministic n-gram-free heuristic
+#: (script dominance), robust at web scale and fully relational.
+_SCRIPTS = {
+    "cyrillic": r"[Ѐ-ӿ]",
+    "cjk": r"[一-鿿぀-ヿ]",
+    "latin": r"[A-Za-z]",
+}
+
+
+def _script_count(col: Column, pattern: str) -> Column:
+    return F.length(F.regexp_replace(col, f"[^{pattern[1:-1]}]", ""))
+
+
+def lang_id(col: Column) -> Column:
+    """'ru' | 'zh' | 'latin' | 'unknown' by dominant script."""
+    cyr = _script_count(col, _SCRIPTS["cyrillic"])
+    cjk = _script_count(col, _SCRIPTS["cjk"])
+    lat = _script_count(col, _SCRIPTS["latin"])
+    return (
+        F.when((cyr >= cjk) & (cyr >= lat) & (cyr > 0), "ru")
+        .when((cjk >= lat) & (cjk > 0), "zh")
+        .when(lat > 0, "latin")
+        .otherwise("unknown")
+    )
+
+
+# ------------------------------------------------------- quality score
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be on at for with that this "
+    "it as by from"
+).split()
+
+
+def quality_features(col: Column) -> list[Column]:
+    """Standard web-corpus quality signals (Gopher/C4-style rule inputs),
+    each aliased; ratios rounded to 4 for cross-engine stability."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    n_chars = F.length(col)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS))
+    )
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", ""))
+    uniq = F.size(F.array_distinct(F.transform(toks, F.lower)))
+    safe = lambda num, den: F.when(den > 0, F.round(num / den, 4)).otherwise(
+        F.lit(0.0)
+    )
+    return [
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        safe(n_chars.cast("double"), n_tok.cast("double")).alias(
+            "mean_token_len"
+        ),
+        safe(punct.cast("double"), n_chars.cast("double")).alias(
+            "punct_ratio"
+        ),
+        safe(stop_hits.cast("double"), n_tok.cast("double")).alias(
+            "stopword_ratio"
+        ),
+        safe(uniq.cast("double"), n_tok.cast("double")).alias(
+            "type_token_ratio"
+        ),
+    ]
+
+
+def quality_score(col: Column) -> Column:
+    """Composite 0..1 score: stopword presence, sane token length,
+    lexical diversity, not punctuation-soup. Deterministic weights."""
+    toks = tokens(col)
+    n_tok = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
+    uniq = F.size(F.array_distinct(F.transform(toks, F.lower)))
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double")
+    n_chars = F.length(col).cast("double")
+    s_len = F.when((n_tok >= 10) & (n_tok <= 5000), 1.0).otherwise(0.25)
+    s_stop = F.when(n_tok > 0, F.least(stop / n_tok * 10.0, F.lit(1.0))).otherwise(0.0)
+    s_div = F.when(n_tok > 0, uniq / n_tok).otherwise(0.0)
+    s_punct = F.when(n_chars > 0, 1.0 - F.least(punct / n_chars * 5.0, F.lit(1.0))).otherwise(0.0)
+    return F.round(
+        0.25 * s_len + 0.25 * s_stop + 0.25 * s_div + 0.25 * s_punct, 4
+    )
+
+
+# -------------------------------------------------------- fingerprints
+
+def normalized(col: Column) -> Column:
+    """Dedup normalization: lowercase + collapse all whitespace runs."""
+    return F.trim(F.regexp_replace(F.lower(col), _WS, " "))
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup fingerprint over normalized text (md5 hex — identically
+    computable in DuckDB for oracle checks)."""
+    return F.md5(F.encode(normalized(col), "utf-8"))
+
+
+def rolling_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: min xxhash64 over
+    `window`-gram shingles of the normalized token stream (a single
+    stable representative n-gram — cheap near-dup prefilter)."""
+    toks = tokens(normalized(col))
+    n = F.size(toks)
+    shingles = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(0), n - window),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " ")),
+        ),
+    ).otherwise(F.array(F.xxhash64(F.array_join(toks, " "))))
+    return F.array_min(shingles)
+
+
+def simhash64(col: Column) -> Column:
+    """64-bit simhash over whitespace tokens, all JVM-side:
+    per-token xxhash64; per-bit majority vote -> bit set when the vote
+    is positive. Near-dup docs differ in few bits (hamming)."""
+    hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
+    n = F.size(hashes)
+    bit = lambda b: F.when(
+        F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int"),
+        )
+        * 2
+        > n,
+        F.lit(1).cast("bigint"),
+    ).otherwise(F.lit(0).cast("bigint"))
+    out = F.lit(0).cast("bigint")
+    for b in range(64):
+        out = out + F.shiftleft(bit(b), b)
+    return F.when(n > 0, out).otherwise(F.lit(0).cast("bigint"))

@@ -1,0 +1,295 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All variants are pure DataFrame plans (shuffle-conscious, no Python in
+the hot path):
+
+- exact:        hash-groupBy on a normalized-text fingerprint. One
+                shuffle on the digest; map-side partial agg applies.
+- minhash+LSH:  shingle -> K minhashes -> B bands; docs sharing a band
+                bucket are candidate near-dups (classic MRS ch.3
+                banding). Joins happen per-band on the band digest —
+                each is a narrow equi-join on a short string key.
+- simhash:      64-bit token-vote hash; near-dups collide in >= one of
+                4 16-bit bands (hamming <= 3 within 64 bits is caught
+                by banding w.h.p.); verify by popcount on candidates.
+- n-gram jaccard: exact verification join over distinct shingles with a
+                hot-shingle cap (drop shingles shared by > cap docs —
+                stopword-like shingles otherwise quadratically explode
+                the candidate space at 10^12 docs).
+- embedding cosine: near-dup by cosine >= threshold within sign-LSH
+                buckets (see operators/similarity.py for the LSH).
+
+Scale notes: every join key here is a digest/bucket id, so AQE's skew
+join splitting handles pathological buckets; the hot-shingle cap bounds
+worst-case candidate fan-out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import textstats as T
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact near-identity (normalized) duplicate groups.
+    -> (fingerprint, n_dups, keeper, member_ids) for groups of >= 2."""
+    fp = T.fingerprint_md5(F.col(text_col)).alias("fingerprint")
+    return (
+        df.select(fp, F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .where(F.col("n_dups") >= 2)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (min id) per normalized-text group."""
+    w = F.row_number().over(
+        Window.partitionBy(T.fingerprint_md5(F.col(text_col))).orderBy(
+            F.col(id_col)
+        )
+    )
+    return df.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
+
+
+# ----------------------------------------------------------- shingles
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingle array over normalized text; docs
+    shorter than n words get their whole text as one shingle."""
+    toks = T.tokens(T.normalized(text_col))
+    cnt = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            cnt >= n,
+            F.transform(
+                F.sequence(F.lit(0), cnt - n),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    hot_shingle_cap: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Plan: explode distinct shingles -> drop shingles hotter than
+    `hot_shingle_cap` docs (quadratic-blowup guard) -> self-join on the
+    shingle -> per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.
+    -> (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("docs"))
+        .where(F.col("docs") > hot_shingle_cap)
+        .select("shingle")
+    )
+    cool = sh.join(hot, "shingle", "left_anti")
+    a = cool.alias("a")
+    b = cool.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------------ minhash
+
+
+def minhash_signature(text_col, k: int = 16, n: int = 3):
+    """K-wise minhash over n-gram shingles: component i = min over
+    shingles of md5(i || ':' || shingle). md5 keeps the signature
+    reproducible in any engine (oracle-checkable); mins over hex
+    strings are order-isomorphic to mins over the underlying bits."""
+    sh = word_shingles(text_col, n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    sh,
+                    lambda s, i=i: F.md5(
+                        F.encode(F.concat(F.lit(f"{i}:"), s), "utf-8")
+                    ),
+                )
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: signature split into `bands` rows of k/bands; docs
+    sharing any band digest are candidates.
+    -> (band, band_key, n_docs, member_ids) buckets with >= 2 docs."""
+    rows_per_band = k // bands
+    sig = minhash_signature(F.col(text_col), k, n).alias("sig")
+    with_sig = df.select(F.col(id_col).alias("id"), sig)
+    bands_df = with_sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            "|",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    return (
+        bands_df.groupBy("band", "band_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sort_array(F.collect_list("id")).alias("member_ids"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs from LSH buckets, verified by exact signature
+    agreement ratio (estimated jaccard) >= threshold.
+    -> (id_a, id_b, est_jaccard)."""
+    sig = minhash_signature(F.col(text_col), k, n).alias("sig")
+    with_sig = df.select(F.col(id_col).alias("id"), sig)
+    cands = (
+        minhash_lsh_candidates(df, id_col, text_col, k, bands, n)
+        .select(F.explode(F.col("member_ids")).alias("id_a"), "member_ids")
+        .select("id_a", F.explode("member_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = with_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = with_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.round(
+                F.size(
+                    F.filter(
+                        F.zip_with(
+                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                        ),
+                        lambda z: z == 1,
+                    )
+                )
+                / F.lit(float(k)),
+                4,
+            ),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash banding: 64 bits -> 4 x 16-bit bands;
+    pairs sharing any band are verified with an exact popcount of the
+    XOR. -> (id_a, id_b, hamming)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        T.simhash64(F.col(text_col)).alias("sh"),
+    )
+    banded = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sh", 16 * b).bitwiseAND(F.lit(0xFFFF))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

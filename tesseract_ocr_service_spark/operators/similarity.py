@@ -1,0 +1,161 @@
+"""Similarity search over an embedding column (array<float/double>).
+
+Two tiers (north-star training-data ops):
+
+- brute-force cosine top-k — the exactness baseline: one narrow pass,
+  dot products via zip_with/aggregate (JVM-side, codegen), global top-k
+  via a single ordered limit (Spark's TakeOrderedAndProject — no full
+  sort materialization).
+- sign-LSH bucketed ANN — the 10^12-scale path: H deterministic
+  hyperplanes (seeded ±1 component patterns, broadcast as literals)
+  hash every vector into a 2^H bucket space; queries probe only their
+  bucket (equi-join on bucket id), turning an O(N) scan per query into
+  an O(N/2^H) bucket read. Buckets are just a column -> the table can
+  be written partitioned/bucketed by it for physical pruning.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine vs a literal query vector.
+    -> (vec_id, sim) — sim rounded 4; ties broken by id (deterministic)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sims = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("sim"),
+    )
+    return sims.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def hyperplane_signs(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 hyperplane components (seeded, engine contract)."""
+    r = random.Random(seed)
+    return [
+        [1.0 if r.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = sign(<v, h_j>)."""
+    out = F.lit(0).cast("bigint")
+    v = vec_col.cast("array<double>")
+    for j, plane in enumerate(planes):
+        h = F.array(*[F.lit(c) for c in plane])
+        bit = F.when(dot(v, h) >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        out = out + F.shiftleft(bit, j)
+    return out
+
+
+def with_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return df.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col), hyperplane_signs(n_planes, dim, seed))
+    )
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's LSH bucket.
+    At scale the bucket column is a partition key -> physical pruning."""
+    planes = hyperplane_signs(n_planes, len(query_vec), seed)
+    qb = 0
+    for j, plane in enumerate(planes):
+        if sum(x * c for x, c in zip(query_vec, plane)) >= 0:
+            qb |= 1 << j
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    bucketed = with_lsh_buckets(df, n_planes, len(query_vec), seed, vec_col)
+    return (
+        bucketed.where(F.col("bucket") == F.lit(qb))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicates: candidate pairs share an LSH
+    bucket; verified by exact cosine >= threshold.
+    -> (id_a, id_b, sim)."""
+    b = with_lsh_buckets(df, n_planes, dim, seed, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    )
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(
+                cosine(
+                    F.col("l.v").cast("array<double>"),
+                    F.col("r.v").cast("array<double>"),
+                ),
+                4,
+            ).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,221 @@
+"""Tests for the training-data pipeline operators: dedup, similarity,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_ocr_service_spark.functions import textstats as T
+from tesseract_ocr_service_spark.operators import dedup as D
+from tesseract_ocr_service_spark.operators import multimodal as M
+from tesseract_ocr_service_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The  quick brown fox jumps over the lazy dog"),  # exact dup (normalized)
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different content about spark shuffles"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (6, "Привет мир это тест кириллицы и юникода"),
+        (7, ""),  # empty
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    groups = D.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["member_ids"] == [1, 2, 5] and g["keeper"] == 1
+
+
+def test_dedup_exact_keeps_one(docs):
+    kept = sorted(r["doc_id"] for r in D.dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 6, 7]
+
+
+def test_ngram_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # exact dups share all shingles
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    # near dup (one word differs at the end): 6 of 7 trigrams shared ->
+    # |inter|=5? compute: 7 tokens -> 5 distinct? verify it's present
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_pairs_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0
+    assert not any(4 in p or 6 in p for p in pairs)
+
+
+def test_simhash_near_dup(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base),
+        (2, base + " extraword"),  # tiny perturbation
+        (3, "totally different short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.simhash_pairs(df, max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert not any(3 in p for p in found)
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", T.simhash64(F.col("text")).alias("sh")).collect()}
+    b = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", T.simhash64(F.col("text")).alias("sh")).collect()}
+    assert a == b
+    assert a[7] == 0  # empty text
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    r = random.Random(3)
+    rows = []
+    for i in range(100):
+        rows.append((i, [r.uniform(-1, 1) for _ in range(16)]))
+    # near-dup pair: 200 is 201 slightly perturbed
+    base = [r.uniform(-1, 1) for _ in range(16)]
+    rows.append((200, base))
+    rows.append((201, [x + 0.001 for x in base]))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_cosine_topk_exact(vectors):
+    q_row = vectors.where(F.col("vec_id") == 200).collect()[0]
+    top = S.cosine_topk(vectors, q_row["embedding"], k=3).collect()
+    assert top[0]["vec_id"] == 200 and top[0]["sim"] == 1.0
+    assert top[1]["vec_id"] == 201 and top[1]["sim"] > 0.999
+
+
+def test_ann_lsh_finds_self_and_neardup(vectors):
+    q_row = vectors.where(F.col("vec_id") == 200).collect()[0]
+    top = S.ann_topk_lsh(vectors, q_row["embedding"], k=5, n_planes=6).collect()
+    ids = [r["vec_id"] for r in top]
+    assert ids[0] == 200 and 201 in ids  # perturbed twin shares the bucket
+
+
+def test_embedding_neardup_pairs(vectors):
+    pairs = S.embedding_neardup_pairs(
+        vectors, threshold=0.999, n_planes=6, dim=16
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(200, 201)}
+
+
+def test_lsh_bucket_count_bounded(vectors):
+    b = S.with_lsh_buckets(vectors, n_planes=6, dim=16)
+    n_buckets = b.select("bucket").distinct().count()
+    assert 1 < n_buckets <= 64
+
+
+def test_textstats_basic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The quick brown fox, and a lazy dog!"),
+            (2, "Привет мир Привет мир Привет"),
+            (3, "中文分词测试文本"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tok"),
+        T.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("q"),
+        T.fingerprint_md5(F.col("text")).alias("fp"),
+        *T.quality_features(F.col("text")),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_tok"] == 8
+    assert by_id[1]["n_bpe"] == 10  # 8 words + ',' + '!'
+    assert by_id[1]["lang"] == "latin"
+    assert by_id[2]["lang"] == "ru"
+    assert by_id[3]["lang"] == "zh"
+    assert by_id[4]["lang"] == "unknown"
+    assert by_id[1]["stopword_ratio"] == pytest.approx(3 / 8, abs=1e-4)
+    assert by_id[2]["type_token_ratio"] == pytest.approx(2 / 5, abs=1e-4)
+    assert 0.0 <= by_id[1]["q"] <= 1.0
+    # empty doc: only the length-penalty floor contributes (0.25 * 0.25)
+    assert by_id[4]["n_tok"] == 0 and by_id[4]["q"] == 0.0625
+    # fingerprint ignores case/whitespace
+    df2 = spark.createDataFrame(
+        [(1, "the  QUICK brown fox, and a lazy dog!")], ["doc_id", "text"]
+    )
+    fp2 = df2.select(T.fingerprint_md5(F.col("text")).alias("fp")).collect()[0]["fp"]
+    assert fp2 == by_id[1]["fp"]
+
+
+def test_rolling_fingerprint_is_min_shingle_hash(spark):
+    text = "One two THREE four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = df.select(
+        T.rolling_fingerprint(F.col("text"), 8).alias("rfp")
+    ).collect()[0]["rfp"]
+    # independent recomputation: xxhash64 of each normalized 8-gram
+    toks = text.lower().split()
+    shingles = [
+        " ".join(toks[i : i + 8]) for i in range(len(toks) - 8 + 1)
+    ]
+    hashes = [
+        r["h"]
+        for r in spark.createDataFrame([(s,) for s in shingles], ["s"])
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    ]
+    assert got == min(hashes)
+    # short doc (< window tokens): whole text is the single shingle
+    short = spark.createDataFrame([(1, "just three words")], ["doc_id", "text"])
+    srf = short.select(
+        T.rolling_fingerprint(F.col("text"), 8).alias("rfp")
+    ).collect()[0]["rfp"]
+    sh = spark.createDataFrame([("just three words",)], ["s"]).select(
+        F.xxhash64("s").alias("h")
+    ).collect()[0]["h"]
+    assert srf == sh
+
+
+def test_multimodal_features_and_frames(spark):
+    rows = [
+        ("a1", "image", b"\x89PNGfakebytes1", "image/png"),
+        ("a2", "image", b"\x89PNGother", "image/png"),
+        ("v1", "video", b"\x00\x00fakevideo", "video/mp4"),
+        ("x1", "audio", b"RIFFfake", "audio/wav"),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    feats = {r["asset_id"]: r for r in M.extract_image_features(media).collect()}
+    assert set(feats) == {"a1", "a2"}
+    assert len(feats["a1"]["features"]) == 16
+    assert feats["a1"]["width"] >= 64 and feats["a1"]["n_bytes"] == 14
+    # deterministic across runs
+    again = {r["asset_id"]: r for r in M.extract_image_features(media).collect()}
+    assert feats["a1"]["sha256"] == again["a1"]["sha256"]
+    assert feats["a1"]["features"] == again["a1"]["features"]
+
+    frames = M.sample_video_frames(media, every_ms=7000).collect()
+    assert all(r["asset_id"] == "v1" for r in frames)
+    assert [r["frame_index"] for r in frames] == list(range(len(frames)))
+    assert len(frames) >= 1
+
+
+def test_real_decode_path_gated():
+    with pytest.raises(NotImplementedError, match="codec unavailable"):
+        M.decode_image(b"anything")
