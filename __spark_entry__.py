@@ -56,9 +56,11 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from tesseract_ocr_service_spark.operators import queries as Q
     from tesseract_ocr_service_spark.operators import relational as R
 
     return {
+        **Q.SPARK_QUERIES,
         "extract_canonical_text": _q_extract,
         "assembly_relational": R.assembly_relational,
         "confidence_mean": R.confidence_mean,
@@ -74,7 +76,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tesseract_ocr_service_spark.operators import queries as Q
+
     return {
+        **Q.ORACLES,
         # the flagship: the kernel's HTML round-trip contract — tokenize,
         # 12-word flow lines joined "\n", sub-3-token docs are boilerplate
         # (min_block_words) -> '' (rejected-block rule).

@@ -155,7 +155,12 @@ def rolling_fingerprint(col: Column, window: int = 8) -> Column:
 def simhash64(col: Column) -> Column:
     """64-bit simhash over whitespace tokens, all JVM-side:
     per-token xxhash64; per-bit majority vote -> bit set when the vote
-    is positive. Near-dup docs differ in few bits (hamming)."""
+    is positive. Near-dup docs differ in few bits (hamming).
+
+    Expression form (64 folds over the token-hash array) — fine inline
+    on moderate docs; for corpus-scale simhash use
+    ``operators.dedup.simhash_table`` (explode + hash-aggregate, the
+    shape that vectorizes and partial-aggregates)."""
     hashes = F.transform(tokens(col), lambda t: F.xxhash64(t))
     n = F.size(hashes)
     bit = lambda b: F.when(

@@ -33,10 +33,14 @@ from ..functions import textstats as T
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_group: int = 2,
 ) -> DataFrame:
     """Exact near-identity (normalized) duplicate groups.
-    -> (fingerprint, n_dups, keeper, member_ids) for groups of >= 2."""
+    -> (fingerprint, n_dups, keeper, member_ids) for groups of
+    >= min_group members (1 = every fingerprint, for oracle checks)."""
     fp = T.fingerprint_md5(F.col(text_col)).alias("fingerprint")
     return (
         df.select(fp, F.col(id_col))
@@ -46,7 +50,7 @@ def exact_duplicates(
             F.min(id_col).alias("keeper"),
             F.sort_array(F.collect_list(id_col)).alias("member_ids"),
         )
-        .where(F.col("n_dups") >= 2)
+        .where(F.col("n_dups") >= min_group)
     )
 
 
@@ -81,6 +85,57 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    distinct: bool = True,
+) -> DataFrame:
+    """Word n-gram shingles as ROWS: (id, shingle), the corpus-scale
+    twin of :func:`word_shingles`.
+
+    The array-expression form slices the token array per position —
+    O(len^2) per document in *interpreted* higher-order functions, and
+    it dominated profiles. This shape is explode + window-lead, fully
+    codegen'd: tokens with positions -> shingle_i = tok_i .. tok_{i+n-1}
+    via lead(); docs shorter than n tokens contribute their whole text
+    as one shingle (matching word_shingles, including '' for empty).
+    Set distinct=False when the consumer is min-aggregation (min over a
+    multiset equals min over the set — skips a shuffle).
+    """
+    norm = T.normalized(F.col(text_col))
+    toks_arr = T.tokens(norm)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        toks_arr.alias("toks"),
+        F.size(toks_arr).alias("ntok"),
+    )
+    small = base.where(F.col("ntok") < n).select(
+        "id", F.array_join("toks", " ").alias("shingle")
+    )
+    pos_toks = (
+        base.where(F.col("ntok") >= n)
+        .select("id", F.posexplode("toks").alias("pos", "tok"))
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, n)
+    ]
+    big = (
+        pos_toks.select("id", *leads)
+        .where(F.col(f"t{n-1}").isNotNull())
+        .select(
+            "id",
+            F.concat_ws(
+                " ", "tok", *[f"t{j}" for j in range(1, n)]
+            ).alias("shingle"),
+        )
+    )
+    out = big.unionByName(small)
+    return out.dropDuplicates(["id", "shingle"]) if distinct else out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -96,10 +151,7 @@ def ngram_jaccard_pairs(
     shingle -> per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.
     -> (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
-    )
+    sh = shingle_rows(df, id_col, text_col, n, distinct=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     hot = (
         sh.groupBy("shingle")
@@ -140,18 +192,51 @@ def minhash_signature(text_col, k: int = 16, n: int = 3):
     reproducible in any engine (oracle-checkable); mins over hex
     strings are order-isomorphic to mins over the underlying bits."""
     sh = word_shingles(text_col, n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    sh,
-                    lambda s, i=i: F.md5(
-                        F.encode(F.concat(F.lit(f"{i}:"), s), "utf-8")
-                    ),
-                )
-            ).alias(f"mh{i}")
-            for i in range(k)
-        ]
+
+    def _mh(seed: int):
+        # NOTE: a two-parameter lambda in F.transform means
+        # (element, index) to Spark — the seed must close over a
+        # single-parameter lambda, never ride as a default arg.
+        return F.array_min(
+            F.transform(
+                sh,
+                lambda s: F.md5(
+                    F.encode(F.concat(F.lit(f"{seed}:"), s), "utf-8")
+                ),
+            )
+        )
+
+    return F.array(*[_mh(i).alias(f"mh{i}") for i in range(k)])
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Scalable minhash: explode shingles ONCE, then K min-aggregates.
+
+    The expression-only :func:`minhash_signature` recomputes the shingle
+    array per component (Catalyst does not CSE across lambda functions)
+    — O(K) tokenizations per document. This shape tokenizes once and
+    reduces with map-side partial min aggregation, the form that holds
+    at 10^12 docs. -> (id, sig: array<string> length K).
+    """
+    # min over the shingle multiset == min over the set: distinct=False
+    # saves the dedup shuffle. The window inside shingle_rows already
+    # hash-partitions by id, which is exactly what the groupBy needs.
+    sh = shingle_rows(df, id_col, text_col, n, distinct=False)
+    aggs = [
+        F.min(
+            F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("shingle")), "utf-8"))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    out = sh.groupBy("id").agg(*aggs)
+    return out.select(
+        "id", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig")
     )
 
 
@@ -167,8 +252,7 @@ def minhash_lsh_candidates(
     sharing any band digest are candidates.
     -> (band, band_key, n_docs, member_ids) buckets with >= 2 docs."""
     rows_per_band = k // bands
-    sig = minhash_signature(F.col(text_col), k, n).alias("sig")
-    with_sig = df.select(F.col(id_col).alias("id"), sig)
+    with_sig = minhash_signatures_agg(df, id_col, text_col, k, n)
     bands_df = with_sig.select(
         "id",
         F.posexplode(
@@ -209,8 +293,7 @@ def minhash_dedup_pairs(
     """Candidate pairs from LSH buckets, verified by exact signature
     agreement ratio (estimated jaccard) >= threshold.
     -> (id_a, id_b, est_jaccard)."""
-    sig = minhash_signature(F.col(text_col), k, n).alias("sig")
-    with_sig = df.select(F.col(id_col).alias("id"), sig)
+    with_sig = minhash_signatures_agg(df, id_col, text_col, k, n)
     cands = (
         minhash_lsh_candidates(df, id_col, text_col, k, bands, n)
         .select(F.explode(F.col("member_ids")).alias("id_a"), "member_ids")
@@ -243,7 +326,62 @@ def minhash_dedup_pairs(
     )
 
 
+def rolling_fingerprint_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Corpus-scale winnowing fingerprint: min xxhash64 over
+    `window`-gram shingles (same value as
+    ``functions.textstats.rolling_fingerprint``, but via the codegen'd
+    shingle_rows shape instead of interpreted array slices).
+    -> (id, rolling_fp)."""
+    sh = shingle_rows(df, id_col, text_col, window, distinct=False)
+    return sh.groupBy("id").agg(
+        F.min(F.xxhash64("shingle")).alias("rolling_fp")
+    )
+
+
 # ------------------------------------------------------------ simhash
+
+
+def simhash_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-scale simhash: explode token hashes -> 64 sum-aggregates
+    (JVM hash-aggregate with map-side combine; no higher-order array
+    folds). -> (id, sh). Empty docs get sh = 0."""
+    # plain explode(split) + relational filter-in-aggregate: stays in
+    # whole-stage codegen (the higher-order F.filter form is interpreted
+    # and dominated profiles). split() yields [''] for empty text, so
+    # every document keeps >= 1 row and empties aggregate to sh = 0.
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+    )
+    h = F.xxhash64("tok")
+    word = F.col("tok") != ""
+    bit_sums = toks.groupBy("id").agg(
+        F.count(F.when(word, 1)).alias("n"),
+        *[
+            F.sum(
+                F.when(word, F.shiftright(h, b).bitwiseAND(F.lit(1)))
+                .otherwise(F.lit(0))
+            ).alias(f"c{b}")
+            for b in range(64)
+        ],
+    )
+    sh = F.lit(0).cast("bigint")
+    for b in range(64):
+        sh = sh + F.shiftleft(
+            F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")),
+            b,
+        )
+    return bit_sums.select(
+        "id", F.when(F.col("n") > 0, sh).otherwise(F.lit(0).cast("bigint")).alias("sh")
+    )
 
 
 def simhash_pairs(
@@ -255,10 +393,7 @@ def simhash_pairs(
     """Near-dup pairs by simhash banding: 64 bits -> 4 x 16-bit bands;
     pairs sharing any band are verified with an exact popcount of the
     XOR. -> (id_a, id_b, hamming)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        T.simhash64(F.col(text_col)).alias("sh"),
-    )
+    sh = simhash_table(df, id_col, text_col)
     banded = sh.select(
         "id",
         "sh",

@@ -1,0 +1,368 @@
+"""Driver-harness query wrappers for the training-data operators, with
+programmatically-generated DuckDB oracle SQL where the op is
+SQL-expressible.
+
+Shared across engines: md5-based fingerprints/minhash (identical hex in
+any engine), integral or round(...,4)-stabilized numerics, explicit
+deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import textstats as T
+from . import dedup as D
+from . import multimodal as M
+from . import similarity as S
+
+ANN_PLANES = 8
+ANN_DIM = 64
+ANN_SEED = 42
+ANN_K = 10
+JACCARD_T = 0.2
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    return list(
+        _emb(spark, sf_dir).where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    )
+
+
+# ------------------------------------------------------ spark callables
+
+
+def dedup_exact_groups(spark, sf_dir):
+    return D.exact_duplicates(_docs(spark, sf_dir), min_group=1).select(
+        "fingerprint", "n_dups", "keeper"
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _docs(spark, sf_dir),
+        threshold=JACCARD_T,
+        hot_shingle_cap=10**9,  # exact mode for the oracle comparison
+    )
+
+
+def dedup_minhash_sig(spark, sf_dir):
+    sigs = D.minhash_signatures_agg(_docs(spark, sf_dir), k=16, n=3)
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.array_join("sig", "|")).alias("sig_digest"),
+    )
+
+
+def text_quality(spark, sf_dir):
+    c = F.col("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *T.quality_features(c),
+        T.quality_score(c).alias("quality"),
+    )
+
+
+def token_counts_bpe(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_bpe")
+    )
+
+
+def text_fingerprints(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.fingerprint_md5(F.col("text")).alias("fp")
+    )
+
+
+def lang_id_q(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+def ann_cosine_topk(spark, sf_dir):
+    return S.cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=ANN_K)
+
+
+def ann_lsh_topk(spark, sf_dir):
+    return S.ann_topk_lsh(
+        _emb(spark, sf_dir),
+        _query_vec(spark, sf_dir),
+        k=ANN_K,
+        n_planes=ANN_PLANES,
+        seed=ANN_SEED,
+    )
+
+
+def simhash_fingerprints(spark, sf_dir):
+    """xxhash64-based — Spark-only (rows-only driver check)."""
+    docs = _docs(spark, sf_dir)
+    sh = D.simhash_table(docs).withColumnRenamed("id", "doc_id")
+    rolling = D.rolling_fingerprint_table(docs, window=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+    return sh.join(rolling, "doc_id")
+
+
+def embedding_neardups(spark, sf_dir):
+    """LSH-bucketed near-dup pairs — Spark-only (rows-only check)."""
+    return S.embedding_neardup_pairs(
+        _emb(spark, sf_dir), threshold=0.3, n_planes=6, dim=ANN_DIM
+    )
+
+
+def image_features_fake(spark, sf_dir):
+    """Multimodal plumbing demo: documents bytes as fake image payloads
+    through the Arrow-batched feature stage (rows-only check)."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(
+            "payload"
+        ),
+        F.lit("image/png").alias("mime"),
+    )
+    return M.extract_image_features(media).select(
+        "asset_id", "width", "height", "n_bytes", "sha256"
+    )
+
+
+# ----------------------------------------------------------- oracle sql
+
+#: normalized token list (matches textstats.normalized + tokens)
+_TOKS_NORM = (
+    r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', "
+    r"'g')), ' '), x -> x <> '')"
+)
+#: raw whitespace tokens (matches textstats.tokens, no lowering)
+_TOKS_RAW = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+_SHINGLES = f"""
+norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+shingled AS (
+    SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) >= 3
+             THEN [array_to_string(toks[i:i+2], ' ')
+                   for i in generate_series(1, len(toks) - 2)]
+             ELSE [array_to_string(toks, ' ')] END) AS sh
+    FROM norm
+)
+"""
+
+
+def _sql_dedup_exact() -> str:
+    return r"""
+        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                   AS fingerprint,
+               count(*) AS n_dups,
+               min(doc_id) AS keeper
+        FROM documents GROUP BY 1
+    """
+
+
+def _sql_jaccard() -> str:
+    return f"""
+        WITH {_SHINGLES},
+        sh AS (SELECT doc_id, unnest(sh) AS shingle FROM shingled),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= {JACCARD_T}
+    """
+
+
+def _sql_minhash() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
+        for i in range(16)
+    )
+    concat = " || '|' || ".join(f"mh{i}" for i in range(16))
+    return f"""
+        WITH {_SHINGLES},
+        sigs AS (SELECT doc_id, {mins} FROM shingled)
+        SELECT doc_id, md5({concat}) AS sig_digest FROM sigs
+    """
+
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in T._STOPWORDS)
+
+
+def _sql_quality() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS_RAW} AS toks,
+                   length(text) AS n_chars
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_chars,
+                   len(toks) AS n_tok,
+                   len(list_filter(toks,
+                       x -> list_contains([{_STOPWORDS_SQL}], lower(x))))
+                       AS stop_hits,
+                   len(list_distinct(list_transform(toks, x -> lower(x))))
+                       AS uniq,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                       AS punct
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CASE WHEN n_tok > 0
+                    THEN round(n_chars / CAST(n_tok AS DOUBLE), 4)
+                    ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_chars > 0
+                    THEN round(punct / CAST(n_chars AS DOUBLE), 4)
+                    ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tok > 0
+                    THEN round(stop_hits / CAST(n_tok AS DOUBLE), 4)
+                    ELSE 0.0 END AS stopword_ratio,
+               CASE WHEN n_tok > 0
+                    THEN round(uniq / CAST(n_tok AS DOUBLE), 4)
+                    ELSE 0.0 END AS type_token_ratio,
+               round(0.25 * (CASE WHEN n_tok BETWEEN 10 AND 5000
+                                  THEN 1.0 ELSE 0.25 END)
+                   + 0.25 * (CASE WHEN n_tok > 0
+                                  THEN least(stop_hits / CAST(n_tok AS DOUBLE)
+                                             * 10.0, 1.0) ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN n_tok > 0
+                                  THEN uniq / CAST(n_tok AS DOUBLE)
+                                  ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN n_chars > 0
+                                  THEN 1.0 - least(punct
+                                        / CAST(n_chars AS DOUBLE) * 5.0, 1.0)
+                                  ELSE 0.0 END), 4) AS quality
+        FROM f
+    """
+
+
+def _sql_bpe() -> str:
+    return (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        f"'{T.BPE_ISH}')) AS BIGINT) AS n_bpe FROM documents"
+    )
+
+
+def _sql_fingerprint() -> str:
+    return r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """
+
+
+def _sql_lang_id() -> str:
+    # same dominance rule over the same script classes (RE2 spelling)
+    cyr = r"length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g'))"
+    cjk = r"length(regexp_replace(text, '[^一-鿿぀-ヿ]', '', 'g'))"
+    lat = r"length(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    return f"""
+        WITH s AS (SELECT doc_id, {cyr} AS cyr, {cjk} AS cjk, {lat} AS lat
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN cyr >= cjk AND cyr >= lat AND cyr > 0 THEN 'ru'
+                    WHEN cjk >= lat AND cjk > 0 THEN 'zh'
+                    WHEN lat > 0 THEN 'latin'
+                    ELSE 'unknown' END AS lang_guess
+        FROM s
+    """
+
+
+_COSINE = (
+    "list_dot_product(embedding::DOUBLE[], q) / "
+    "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(q, q)))"
+)
+
+
+def _sql_ann_brute() -> str:
+    return f"""
+        WITH qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+                    WHERE vec_id = 0)
+        SELECT vec_id, sim FROM (
+            SELECT vec_id, round({_COSINE}, 4) AS sim,
+                   row_number() OVER (ORDER BY round({_COSINE}, 4) DESC,
+                                      vec_id) AS rn
+            FROM embeddings, qv
+        ) WHERE rn <= {ANN_K}
+    """
+
+
+def _bucket_sql(planes: list[list[float]], vec: str) -> str:
+    terms = []
+    for j, plane in enumerate(planes):
+        lits = ", ".join(repr(c) for c in plane)
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{lits}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _sql_ann_lsh() -> str:
+    planes = S.hyperplane_signs(ANN_PLANES, ANN_DIM, ANN_SEED)
+    return f"""
+        WITH qv AS (SELECT embedding::DOUBLE[] AS q,
+                           {_bucket_sql(planes, 'embedding::DOUBLE[]')} AS qb
+                    FROM embeddings WHERE vec_id = 0),
+        bucketed AS (
+            SELECT vec_id, embedding,
+                   {_bucket_sql(planes, 'embedding::DOUBLE[]')} AS bucket
+            FROM embeddings
+        )
+        SELECT vec_id, sim FROM (
+            SELECT vec_id, round({_COSINE}, 4) AS sim,
+                   row_number() OVER (ORDER BY round({_COSINE}, 4) DESC,
+                                      vec_id) AS rn
+            FROM bucketed, qv WHERE bucket = qb
+        ) WHERE rn <= {ANN_K}
+    """
+
+
+SPARK_QUERIES = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_sig": dedup_minhash_sig,
+    "text_quality": text_quality,
+    "token_counts_bpe": token_counts_bpe,
+    "text_fingerprints": text_fingerprints,
+    "lang_id": lang_id_q,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    # rows-only (xxhash64 / sha256-plumbing — not portable to DuckDB)
+    "simhash_fingerprints": simhash_fingerprints,
+    "embedding_neardups": embedding_neardups,
+    "image_features": image_features_fake,
+}
+
+ORACLES = {
+    "dedup_exact_groups": _sql_dedup_exact(),
+    "dedup_ngram_jaccard": _sql_jaccard(),
+    "dedup_minhash_sig": _sql_minhash(),
+    "text_quality": _sql_quality(),
+    "token_counts_bpe": _sql_bpe(),
+    "text_fingerprints": _sql_fingerprint(),
+    "lang_id": _sql_lang_id(),
+    "ann_cosine_topk": _sql_ann_brute(),
+    "ann_lsh_topk": _sql_ann_lsh(),
+}

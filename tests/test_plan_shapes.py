@@ -1,0 +1,61 @@
+"""Physical-plan regression tests: the shapes that matter at 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from tesseract_ocr_service_spark.operators import extract as X
+from tesseract_ocr_service_spark.operators import relational as R
+from tesseract_ocr_service_spark.sources import gen
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "pages")
+    gen.write_pages(spark, path, 100, seed=3, partitions=2)
+    return path
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_plan_is_narrow(spark, pages_path):
+    """scan -> project -> kernel, ZERO shuffles (no Exchange nodes)."""
+    plan = _plan(X.extract(X.read_pages(spark, pages_path)))
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_extraction_scan_prunes_partitions_and_columns(spark, pages_path):
+    plan = _plan(
+        X.extract(X.read_pages(spark, pages_path, "2026-01-03", "2026-01-07"))
+    )
+    assert "PartitionFilters" in plan and "warc_day" in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # only the 4 kernel columns; the decoy `text` column never scanned
+    assert "html:binary" in scan and "text" not in scan
+
+
+def test_salted_plan_has_exactly_one_exchange(spark, pages_path):
+    plan = _plan(X.extract(X.read_pages(spark, pages_path), salt_partitions=8))
+    assert plan.count("Exchange") == 1  # the explicit salt repartition
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(R.top_customers_by_region(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    # top-k is pushed below the shuffle (partial WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_no_python_row_udfs_anywhere(spark, pages_path):
+    """'zero per-row Python': BatchEvalPython (row-at-a-time UDF) must
+    never appear; only Arrow-batched MapInPandas is allowed."""
+    for df in [
+        X.extract(X.read_pages(spark, pages_path)),
+        R.assembly_relational(spark, "/root/testdata/sf0.001"),
+        R.pricing_summary(spark, "/root/testdata/sf0.001"),
+    ]:
+        assert "BatchEvalPython" not in _plan(df)
