@@ -67,15 +67,15 @@ def _bbox_level(df: pd.DataFrame, keys: list[str]) -> pd.DataFrame:
 
 
 def _index_bboxes(df: pd.DataFrame, keys: list[str]) -> dict:
-    cols = [df[k].to_numpy() for k in keys]
-    l, t = df["left"].to_numpy(), df["top"].to_numpy()
-    r, b = df["right"].to_numpy(), df["bottom"].to_numpy()
+    cols = [df[k].tolist() for k in keys]
+    l, t = df["left"].tolist(), df["top"].tolist()
+    r, b = df["right"].tolist(), df["bottom"].tolist()
     return {
-        tuple(int(c[i]) for c in cols): {
-            "left": int(l[i]),
-            "top": int(t[i]),
-            "right": int(r[i]),
-            "bottom": int(b[i]),
+        tuple(c[i] for c in cols): {
+            "left": l[i],
+            "top": t[i],
+            "right": r[i],
+            "bottom": b[i],
         }
         for i in range(len(df))
     }
@@ -105,27 +105,41 @@ def assemble_pages(
         par_bbox = _index_bboxes(par_bb, _KEY[:4])
         blk_bbox = _index_bboxes(_bbox_level(par_bb, _KEY[:3]), _KEY[:3])
 
-    doc_a = w["doc"].to_numpy()
-    page_a = w["page_number"].to_numpy()
-    blk_a = w["block_num"].to_numpy()
-    par_a = w["par_num"].to_numpy()
-    line_a = w["line_num"].to_numpy()
-    text_a = w["text"].to_numpy()
-    if emit_spans:
-        left_a = w["left"].to_numpy()
-        top_a = w["top"].to_numpy()
-        wid_a = w["width"].to_numpy()
-        hgt_a = w["height"].to_numpy()
-        conf_a = w["conf"].to_numpy()
-
     # boundary detection, vectorized: which key level changed vs prev row
     n = len(w)
-    new_page = np.ones(n, dtype=bool)
-    new_page[1:] = (doc_a[1:] != doc_a[:-1]) | (page_a[1:] != page_a[:-1])
-    new_block = new_page.copy()
-    new_block[1:] |= blk_a[1:] != blk_a[:-1]
-    new_line = new_block.copy()
-    new_line[1:] |= (par_a[1:] != par_a[:-1]) | (line_a[1:] != line_a[:-1])
+    doc_np = w["doc"].to_numpy()
+    page_np = w["page_number"].to_numpy()
+    blk_np = w["block_num"].to_numpy()
+    par_np = w["par_num"].to_numpy()
+    line_np = w["line_num"].to_numpy()
+    new_page_np = np.ones(n, dtype=bool)
+    new_page_np[1:] = (doc_np[1:] != doc_np[:-1]) | (
+        page_np[1:] != page_np[:-1]
+    )
+    new_block_np = new_page_np.copy()
+    new_block_np[1:] |= blk_np[1:] != blk_np[:-1]
+    new_line_np = new_block_np.copy()
+    new_line_np[1:] |= (par_np[1:] != par_np[:-1]) | (
+        line_np[1:] != line_np[:-1]
+    )
+
+    # one .tolist() per column: C-speed numpy->python conversion so the
+    # assembly loop touches plain ints/strs (no per-access scalar boxing)
+    doc_a = doc_np.tolist()
+    page_a = page_np.tolist()
+    blk_a = blk_np.tolist()
+    par_a = par_np.tolist()
+    line_a = line_np.tolist()
+    text_a = w["text"].tolist()
+    new_page = new_page_np.tolist()
+    new_block = new_block_np.tolist()
+    new_line = new_line_np.tolist()
+    if emit_spans:
+        left_a = w["left"].tolist()
+        top_a = w["top"].tolist()
+        wid_a = w["width"].tolist()
+        hgt_a = w["height"].tolist()
+        conf_a = w["conf"].tolist()
 
     text_map: dict[tuple[int, int], str] = {}
     spans_map: dict[tuple[int, int], list[dict]] = {}
@@ -149,7 +163,7 @@ def assemble_pages(
             _close_line()
         if new_page[i]:
             _close_page()
-            page_key = (int(doc_a[i]), int(page_a[i]))
+            page_key = (doc_a[i], page_a[i])
             pieces = []
             if emit_spans:
                 blocks = spans_map.setdefault(page_key, [])
@@ -165,8 +179,8 @@ def assemble_pages(
                 pars = []
                 blocks.append(
                     {
-                        "block_id": int(blk_a[i]),
-                        "bbox": blk_bbox[page_key + (int(blk_a[i]),)],
+                        "block_id": blk_a[i],
+                        "bbox": blk_bbox[page_key + (blk_a[i],)],
                         "paragraphs": pars,
                     }
                 )
@@ -174,22 +188,22 @@ def assemble_pages(
             else:
                 new_par = par_a[i] != par_a[i - 1]
             if new_par:
-                key4 = page_key + (int(blk_a[i]), int(par_a[i]))
+                key4 = page_key + (blk_a[i], par_a[i])
                 lines = []
                 pars.append(
-                    {"par_id": int(par_a[i]), "bbox": par_bbox[key4], "lines": lines}
+                    {"par_id": par_a[i], "bbox": par_bbox[key4], "lines": lines}
                 )
             if new_line[i]:
                 key5 = page_key + (
-                    int(blk_a[i]),
-                    int(par_a[i]),
-                    int(line_a[i]),
+                    blk_a[i],
+                    par_a[i],
+                    line_a[i],
                 )
                 line_words = []
                 line_piece_start = len(pieces)
                 lines.append(
                     {
-                        "line_id": int(line_a[i]),
+                        "line_id": line_a[i],
                         "text": None,
                         "bbox": line_bbox[key5],
                         "words": line_words,
@@ -197,16 +211,16 @@ def assemble_pages(
                 )
             line_words.append(
                 {
-                    "text": str(text_a[i]),
-                    "left": int(left_a[i]),
-                    "top": int(top_a[i]),
-                    "width": int(wid_a[i]),
-                    "height": int(hgt_a[i]),
-                    "conf": int(conf_a[i]),
+                    "text": text_a[i],
+                    "left": left_a[i],
+                    "top": top_a[i],
+                    "width": wid_a[i],
+                    "height": hgt_a[i],
+                    "conf": conf_a[i],
                 }
             )
 
-        pieces.append(str(text_a[i]))
+        pieces.append(text_a[i])
 
     _close_line()
     _close_page()

@@ -121,11 +121,35 @@ def extract_word_records(
     Records use the WORD_FIELDS tuple layout of ``pdfstream``; a single
     page (page_number handled by the caller). Lines wrap every
     ``cfg.line_wrap_words`` words; line_num runs document-global (top of
-    page downward) like a single-column render.
+    page downward) like a single-column render. (Row-tuple convenience
+    API; the kernel hot path uses :func:`extract_words_columnar`.)
     """
-    records: list[tuple[Any, ...]] = []
+    cols, kept, dropped, page_h = extract_words_columnar(html, cfg)
+    records = list(zip(*cols)) if cols[0] else []
+    return records, kept, dropped, page_h
+
+
+def extract_words_columnar(
+    html: str, cfg: ExtractConfig
+) -> tuple[tuple[list, ...], int, int, int]:
+    """Columnar variant: -> ((block, par, line, word, text, left, top,
+    width, height, conf) column lists, kept, dropped, page_height).
+    Per-column list building beats per-word tuple rows by ~2x in the
+    kernel's record-table construction."""
+    blk_c: list = []
+    par_c: list = []
+    line_c: list = []
+    word_c: list = []
+    text_c: list = []
+    left_c: list = []
+    top_c: list = []
+    wid_c: list = []
+    hgt_c: list = []
+    conf_c: list = []
     kept = dropped = 0
     global_line = 0
+    wrap = cfg.line_wrap_words
+    conf = cfg.html_word_conf
     for tag, inner in segment_blocks(html):
         keep, tokens = classify_block(tag, inner, cfg)
         if not tokens:
@@ -134,25 +158,26 @@ def extract_word_records(
             dropped += 1
             continue
         kept += 1
-        block_num = kept
-        for i, tok in enumerate(tokens):
-            line_in_block = i // cfg.line_wrap_words
-            pos = i % cfg.line_wrap_words
-            if pos == 0:
-                global_line += 1
-            records.append(
-                (
-                    block_num,
-                    1,  # par_num
-                    line_in_block + 1,
-                    pos + 1,  # word_num
-                    tok,
-                    pos * COL_W,
-                    (global_line - 1) * LINE_H,
-                    len(tok) * CHAR_W,
-                    WORD_H,
-                    cfg.html_word_conf,
-                )
-            )
+        ntok = len(tokens)
+        n_lines = (ntok + wrap - 1) // wrap
+        pos = [i % wrap for i in range(ntok)]
+        blk_c.extend([kept] * ntok)
+        par_c.extend([1] * ntok)
+        line_c.extend(i // wrap + 1 for i in range(ntok))
+        word_c.extend(p + 1 for p in pos)
+        text_c.extend(tokens)
+        left_c.extend(p * COL_W for p in pos)
+        top_c.extend(
+            (global_line + i // wrap) * LINE_H for i in range(ntok)
+        )
+        wid_c.extend(len(t) * CHAR_W for t in tokens)
+        hgt_c.extend([WORD_H] * ntok)
+        conf_c.extend([conf] * ntok)
+        global_line += n_lines
     page_height = max(global_line * LINE_H, LINE_H)
-    return records, kept, dropped, page_height
+    return (
+        (blk_c, par_c, line_c, word_c, text_c, left_c, top_c, wid_c, hgt_c, conf_c),
+        kept,
+        dropped,
+        page_height,
+    )

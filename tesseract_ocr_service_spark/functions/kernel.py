@@ -113,7 +113,13 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     blocks_kept = [0] * n
     blocks_dropped = [0] * n
 
-    rec_chunks: list[list[tuple]] = []  # word-record rows, arrival order
+    # word-record accumulator — COLUMNAR (per-column python lists feed
+    # pandas one typed array per column; object-row tuples cost a full
+    # per-cell convert pass). Order of appends = arrival order.
+    cols: dict[str, list] = {c: [] for c in _REC_COLS}
+    _c_doc = cols["doc"]
+    _c_page = cols["page_number"]
+    _WORD_COLS = _REC_COLS[2:]  # block..conf, matching WORD_FIELDS order
 
     for d in range(n):
         kind, reason = _route(payloads[d], cfg.max_file_size_bytes)
@@ -134,7 +140,7 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 continue
             try:
                 html = payloads[d].decode("utf-8", errors="replace")
-                records, kept, dropped, page_h = htmlx.extract_word_records(
+                wcols, kept, dropped, page_h = htmlx.extract_words_columnar(
                     html, cfg
                 )
             except Exception as e:  # defensive: never fail the task
@@ -153,9 +159,11 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                     "failed": False,
                 }
             )
-            rec_chunks.append(
-                [(d, 1) + r for r in records]  # (doc, page_number, *WORD_FIELDS)
-            )
+            nw = len(wcols[0])
+            _c_doc.extend([d] * nw)
+            _c_page.extend([1] * nw)
+            for name, col in zip(_WORD_COLS, wcols):
+                cols[name].extend(col)
             continue
 
         # pdf path ---------------------------------------------------
@@ -203,16 +211,21 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
                 continue
             page_meta[d].append(meta)
             pn = meta["page_number"]
-            rec_chunks.append([(d, pn) + tuple(wr) for wr in words])
-            for wr in words:
-                if str(wr[4]).strip():
-                    doc_block_ids.add((pn, int(wr[0])))
+            if words:
+                wcols = list(zip(*words))  # row tuples -> columns, C-fast
+                nw = len(words)
+                _c_doc.extend([d] * nw)
+                _c_page.extend([pn] * nw)
+                for name, col in zip(_WORD_COLS, wcols):
+                    cols[name].extend(col)
+                for b, t in zip(wcols[0], wcols[4]):
+                    if str(t).strip():
+                        doc_block_ids.add((pn, int(b)))
         blocks_kept[d] = len(doc_block_ids)
 
     # ---- batch-wide columnar passes over the word table -------------
-    if rec_chunks:
-        flat = [row for chunk in rec_chunks for row in chunk]
-        records = pd.DataFrame(flat, columns=_REC_COLS)
+    if _c_doc:
+        records = pd.DataFrame(cols)
         records["text"] = records["text"].astype(str)
     else:
         records = pd.DataFrame(columns=_REC_COLS)
