@@ -72,6 +72,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_routing": R.validation_routing,
         "pricing_summary": R.pricing_summary,
         "top_customers_by_region": R.top_customers_by_region,
+        "json_export": R.json_export,
+        "top_tokens": R.top_tokens,
+        "lang_token_stats": R.lang_token_stats,
+        "sessionize": R.sessionize,
     }
 
 
@@ -196,6 +200,63 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2002-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "json_export": """
+            SELECT doc_id,
+                   to_json(struct_pack(doc_id := doc_id, lang := lang,
+                                       n_chars := n_chars))::VARCHAR
+                       AS payload_json
+            FROM documents
+        """,
+        "top_tokens": """
+            WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            counts AS (
+                SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
+                GROUP BY tok
+            )
+            SELECT tok, n, rank FROM (
+                SELECT tok, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, tok)
+                            AS INTEGER) AS rank
+                FROM counts
+            ) WHERE rank <= 20
+        """,
+        "lang_token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(len(list_filter(string_split(text, ' '),
+                                            x -> x <> ''))) AS BIGINT)
+                       AS n_tokens,
+                   round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts, event_id,
+                       epoch(ts) - lag(epoch(ts)) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap
+                FROM events
+            ),
+            sessions AS (
+                SELECT user_id,
+                       sum(CASE WHEN gap IS NULL OR gap > 1800
+                                THEN 1 ELSE 0 END) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ),
+            per_session AS (
+                SELECT user_id, session_id, count(*) AS n_events
+                FROM sessions GROUP BY user_id, session_id
+            )
+            SELECT user_id,
+                   count(*) AS n_sessions,
+                   max(n_events) AS longest_session,
+                   CAST(sum(n_events) AS BIGINT) AS n_events_total
+            FROM per_session GROUP BY user_id
         """,
         "top_customers_by_region": """
             WITH counts AS (

@@ -123,6 +123,25 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def quality_keep(col: Column) -> Column:
+    """C4/Gopher-style keep rule (boolean): sane length, lexical
+    diversity, plausible mean token length. Deterministic thresholds —
+    part of the engine contract."""
+    toks = tokens(col)
+    n_tok = F.size(toks)
+    uniq = F.size(F.array_distinct(F.transform(toks, F.lower)))
+    mean_len = F.when(
+        n_tok > 0, F.length(col).cast("double") / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        (n_tok >= 20)
+        & (n_tok <= 5000)
+        & (uniq.cast("double") >= 0.3 * n_tok.cast("double"))
+        & (mean_len >= 2.0)
+        & (mean_len <= 12.0)
+    )
+
+
 # -------------------------------------------------------- fingerprints
 
 def normalized(col: Column) -> Column:

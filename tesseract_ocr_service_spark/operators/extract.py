@@ -121,6 +121,35 @@ def extract(
     )
 
 
+def probe_page_count(pages: DataFrame) -> DataFrame:
+    """S4 analog: per-document page count WITHOUT running extraction
+    (get_pdf_page_count, reference ``pdf_processor.py:106-121`` — pdfinfo
+    probe without rendering). Here: count page markers in the raw
+    payload relationally — html docs are 1 page, `%PDF` streams carry
+    one '"page_number"' marker per page, everything else 0. A pure
+    column expression: no kernel, no Python."""
+    # cast, not decode(): decode throws MALFORMED_CHARACTER_CODING on
+    # garbage payloads; cast substitutes replacement chars.
+    body = F.col("html").cast("string")
+    marker_count = (
+        (
+            F.length(body)
+            - F.length(F.replace(body, F.lit('"page_number"'), F.lit("")))
+        )
+        / F.length(F.lit('"page_number"'))
+    ).cast("int")
+    is_pdf = F.expr("substring(html, 1, 4)") == F.lit(b"%PDF")
+    is_html = F.ltrim(body).startswith("<")
+    return pages.select(
+        "url",
+        F.when(F.col("html").isNull(), 0)
+        .when(is_pdf, marker_count)
+        .when(is_html, 1)
+        .otherwise(0)
+        .alias("page_count"),
+    )
+
+
 def extracted_view(wide: DataFrame) -> DataFrame:
     """Output table 1 `extracted` (SURVEY.md §1.4) — drops spans."""
     return wide.select(

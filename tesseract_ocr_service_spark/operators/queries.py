@@ -90,6 +90,13 @@ def lang_id_q(spark, sf_dir):
     )
 
 
+def quality_filter(spark, sf_dir):
+    """C4/Gopher-style document filter: per-doc keep/drop verdict."""
+    return _docs(spark, sf_dir).select(
+        "doc_id", T.quality_keep(F.col("text")).alias("keep")
+    )
+
+
 def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=ANN_K)
 
@@ -339,7 +346,30 @@ def _sql_ann_lsh() -> str:
     """
 
 
+def _sql_quality_filter() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text, {_TOKS_RAW} AS toks, length(text) AS n_chars
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_chars, len(toks) AS n_tok,
+                   len(list_distinct(list_transform(toks, x -> lower(x))))
+                       AS uniq
+            FROM t
+        )
+        SELECT doc_id,
+               (n_tok >= 20 AND n_tok <= 5000
+                AND CAST(uniq AS DOUBLE) >= 0.3 * n_tok
+                AND (CASE WHEN n_tok > 0
+                          THEN n_chars / CAST(n_tok AS DOUBLE)
+                          ELSE 0.0 END) BETWEEN 2.0 AND 12.0) AS keep
+        FROM f
+    """
+
+
 SPARK_QUERIES = {
+    "quality_filter": quality_filter,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -356,6 +386,7 @@ SPARK_QUERIES = {
 }
 
 ORACLES = {
+    "quality_filter": _sql_quality_filter(),
     "dedup_exact_groups": _sql_dedup_exact(),
     "dedup_ngram_jaccard": _sql_jaccard(),
     "dedup_minhash_sig": _sql_minhash(),

@@ -200,6 +200,81 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S11: unicode-preserving JSON render (UnicodeJSONResponse,
+# ocr/main.py:41-51) — the export view of a result row. Spark's to_json
+# is compact and does not ASCII-escape (ensure_ascii=False parity).
+def json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.to_json(
+            F.struct(
+                F.col("doc_id"),
+                F.col("lang"),
+                F.col("n_chars"),
+            )
+        ).alias("payload_json"),
+    )
+
+
+# --- training-data op: corpus token frequency (top-k tokens) — the
+# explode/aggregate/window shape every vocabulary build uses.
+def top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("tok", "n", "rank")
+    )
+
+
+# --- training-data op: per-language corpus stats (the slice-and-count
+# every multilingual pipeline reports).
+def lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok.cast("bigint")).alias("n_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- sessionization (window lag + cumulative gap-count): the standard
+# event-stream op the engine inherits from Spark windows.
+def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet ts is TIMESTAMP_NTZ: no direct bigint cast in Spark 4 —
+    # hop through timestamp_ltz (identity under the UTC session TZ).
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), 1
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("longest_session"),
+        F.sum("n_events").alias("n_events_total"),
+    )
+
+
 def top_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-dim join chain: region ⋈ nation ⋈ customer ⋈ orders,
     top-5 customers per region by order count (window top-k)."""
