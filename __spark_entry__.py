@@ -38,8 +38,8 @@ toks AS (
            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
     FROM (
         SELECT doc_id,
-               unnest(string_split(text, ' ')) AS tok,
-               generate_subscripts(string_split(text, ' '), 1) AS pos
+               unnest(string_split_regex(text, '\s+')) AS tok,
+               generate_subscripts(string_split_regex(text, '\s+'), 1) AS pos
         FROM documents
     )
     WHERE tok <> ''
@@ -166,7 +166,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "nonempty_word_counts": """
             SELECT doc_id,
-                   len(list_filter(string_split(text, ' '),
+                   len(list_filter(string_split_regex(text, '\s+'),
                                    x -> x <> '')) AS n_words
             FROM documents
         """,
@@ -210,7 +210,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_tokens": """
             WITH toks AS (
-                SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+                SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
             ),
             counts AS (
                 SELECT tok, count(*) AS n FROM toks WHERE tok <> ''
@@ -225,7 +225,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_token_stats": """
             SELECT lang, count(*) AS n_docs,
-                   CAST(sum(len(list_filter(string_split(text, ' '),
+                   CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
                                             x -> x <> ''))) AS BIGINT)
                        AS n_tokens,
                    round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,

@@ -88,7 +88,9 @@ def _route(payload: Any, max_bytes: int) -> tuple[str, str | None]:
         return "rejected", "file_too_large"
     if payload.startswith(pdfstream.MAGIC):
         return "pdf", None
-    if payload.lstrip()[:1] == b"<":
+    # inspect only a small prefix: lstrip() on the full payload would
+    # copy up to max_file_size bytes per document in the kernel hot path
+    if payload[:256].lstrip()[:1] == b"<":
         return "html", None
     return "rejected", "invalid_payload"
 

@@ -104,7 +104,10 @@ def shingle_rows(
     Set distinct=False when the consumer is min-aggregation (min over a
     multiset equals min over the set — skips a shuffle).
     """
-    norm = T.normalized(F.col(text_col))
+    # NULL text must behave like '' (one empty shingle), not vanish:
+    # under ANSI NULL semantics both ntok<n and ntok>=n filters are NULL
+    # for NULL text and the document would silently drop out.
+    norm = T.normalized(F.coalesce(F.col(text_col), F.lit("")))
     toks_arr = T.tokens(norm)
     base = df.select(
         F.col(id_col).alias("id"),
@@ -152,7 +155,6 @@ def ngram_jaccard_pairs(
     -> (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4.
     """
     sh = shingle_rows(df, id_col, text_col, n, distinct=True)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("docs"))
@@ -160,6 +162,10 @@ def ngram_jaccard_pairs(
         .select("shingle")
     )
     cool = sh.join(hot, "shingle", "left_anti")
+    # sizes over the SAME filtered shingle space as the intersections —
+    # mixing unfiltered |A| with filtered |A∩B| would systematically
+    # underestimate jaccard whenever the cap is active.
+    sizes = cool.groupBy("id").agg(F.count("*").alias("sz"))
     a = cool.alias("a")
     b = cool.alias("b")
     inter = (
@@ -251,6 +257,11 @@ def minhash_lsh_candidates(
     """LSH banding: signature split into `bands` rows of k/bands; docs
     sharing any band digest are candidates.
     -> (band, band_key, n_docs, member_ids) buckets with >= 2 docs."""
+    if k % bands != 0:
+        raise ValueError(
+            f"k={k} not divisible by bands={bands}: trailing signature "
+            "components would be silently ignored"
+        )
     rows_per_band = k // bands
     with_sig = minhash_signatures_agg(df, id_col, text_col, k, n)
     bands_df = with_sig.select(
@@ -358,7 +369,10 @@ def simhash_table(
     # every document keeps >= 1 row and empties aggregate to sh = 0.
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
+        # coalesce: explode(split(NULL)) would drop NULL-text docs
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
+        ).alias("tok"),
     )
     h = F.xxhash64("tok")
     word = F.col("tok") != ""

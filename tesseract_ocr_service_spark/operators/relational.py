@@ -28,7 +28,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def assembly_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+        "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "tok")
     ).where(F.col("tok") != "")
     rn = F.row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")
@@ -137,7 +137,7 @@ def nonempty_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
         .cast("bigint")  # duckdb len() is BIGINT — keep schemas aligned
         .alias("n_words"),
     )
@@ -222,7 +222,7 @@ def json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
-        F.explode(F.split("text", " ")).alias("tok")
+        F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
@@ -237,7 +237,7 @@ def top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
 # every multilingual pipeline reports).
 def lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(n_tok.cast("bigint")).alias("n_tokens"),
@@ -251,9 +251,12 @@ def lang_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet ts is TIMESTAMP_NTZ: no direct bigint cast in Spark 4 —
+    # parquet ts is TIMESTAMP_NTZ: no direct numeric cast in Spark 4 —
     # hop through timestamp_ltz (identity under the UTC session TZ).
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    # double, not long: DuckDB's epoch() keeps fractional seconds, and a
+    # floor-seconds gap flips session boundaries within 1s of the
+    # threshold (cross-engine hash divergence).
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
     gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(
         gap.isNull() | (gap > gap_minutes * 60), 1

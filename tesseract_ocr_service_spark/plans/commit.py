@@ -92,7 +92,14 @@ def run_checkpointed(
     languages=None,
     _fail_before_commit: bool = False,  # test hook: crash between data & marker
 ) -> RunSummary:
-    """One idempotent, resumable extraction run over [ts_from, ts_to]."""
+    """One idempotent, resumable extraction run over [ts_from, ts_to].
+
+    NOTE: the lineage commit log is scoped to ``out_root`` and marks a
+    day done under THIS job's config — a day committed by a
+    language-filtered run will be skipped by later runs against the
+    same out_root even with a wider filter. One output root == one
+    job config; use a fresh out_root when the config changes.
+    """
     t0 = time.perf_counter()
     pages = X.read_pages(spark, pages_path, ts_from, ts_to)
 
@@ -129,11 +136,42 @@ def run_checkpointed(
     # scan of the counter columns only (spans pages never touched).
     attempts = attempt_numbers(spark, out_root)
     wall_ms = int((time.perf_counter() - t0) * 1000)
-    written = spark.read.parquet(f"{out_root}/extracted").where(
-        F.col("warc_day").isin(pending)
+    # explicit schema: a run whose rows were ALL filtered writes no
+    # parquet files, and schema inference on an empty dir throws.
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from ..schema import EXTRACTED_SCHEMA
+
+    ext_schema = StructType(
+        list(EXTRACTED_SCHEMA.fields)
+        + [StructField("warc_day", StringType(), True)]
+    )
+    if _exists(spark, f"{out_root}/extracted"):
+        written = (
+            spark.read.schema(ext_schema)
+            .parquet(f"{out_root}/extracted")
+            .where(F.col("warc_day").isin(pending))
+        )
+    else:
+        written = spark.createDataFrame([], ext_schema)
+    # EVERY pending day gets a marker row, including days whose rows
+    # were all filtered away (0 output): without the zero-row marker a
+    # filtered-empty day stays "pending" forever and resume never
+    # converges.
+    days_df = spark.createDataFrame(
+        [(d,) for d in pending], "warc_day string"
+    )
+    counters = X.lineage_view(written)
+    zero_filled = days_df.join(counters, "warc_day", "left").select(
+        "warc_day",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(c)
+            for c in counters.columns
+            if c != "warc_day"
+        ],
     )
     lineage = (
-        X.lineage_view(written)
+        zero_filled
         .withColumn("wall_ms", F.lit(wall_ms))
         .withColumn(
             "attempt",
