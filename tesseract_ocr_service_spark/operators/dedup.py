@@ -398,6 +398,37 @@ def simhash_table(
     )
 
 
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    minhash_k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """The composed training-data dedup pipeline: exact dedup (keep min
+    id per normalized fingerprint), then near-dup removal via
+    minhash-LSH candidates verified by signature agreement >= threshold
+    (each near-dup cluster keeps its min id). Returns the surviving
+    rows of ``df``.
+
+    Scale shape: one fingerprint shuffle, one shingle/minhash pass, one
+    candidate-pair join on band digests — no pairwise full scan.
+    """
+    survivors = dedup_exact(df, id_col, text_col)
+    pairs = minhash_dedup_pairs(
+        survivors, id_col, text_col, k=minhash_k, bands=bands, n=3,
+        threshold=threshold,
+    )
+    # drop the larger id of every near-dup pair (transitively: anything
+    # that is the bigger side of any pair is dropped — min-id per
+    # connected component survives for chains through the keeper).
+    losers = pairs.select(F.col("id_b").alias("_loser")).distinct()
+    return survivors.join(
+        losers, survivors[id_col] == losers["_loser"], "left_anti"
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -200,6 +200,34 @@ def lookup_spans(spark: SparkSession, spans_path: str, url: str) -> DataFrame:
     return spark.read.parquet(spans_path).where(F.col("url") == F.lit(url))
 
 
+def document_json(spark: SparkSession, spans_path: str, url: str) -> DataFrame:
+    """GET /documents/{id}/coordinates response shape (S12): the nested
+    spans hierarchy rendered as unicode-preserving JSON — the reference's
+    ``_document_to_dict`` + UnicodeJSONResponse (ocr/main.py:244-298,
+    41-51) as one partition-pruned read + to_json projection."""
+    return lookup_spans(spark, spans_path, url).select(
+        F.col("url").alias("doc_id"),  # deterministic key (uuid4 delta)
+        F.to_json(
+            F.struct(
+                F.col("url").alias("doc_id"),
+                F.size("spans").alias("total_pages"),
+                F.col("spans").alias("pages"),
+            )
+        ).alias("coordinates_json"),
+    )
+
+
+def register_views(spark: SparkSession, out_root: str) -> None:
+    """Expose the output tables to spark.sql() as temp views:
+    `extracted` (wide, incl. counters+spans) and `lineage`."""
+    spark.read.parquet(f"{out_root}/extracted").createOrReplaceTempView(
+        "extracted"
+    )
+    spark.read.parquet(f"{out_root}/lineage").createOrReplaceTempView(
+        "lineage"
+    )
+
+
 def store_stats(extracted: DataFrame) -> DataFrame:
     """GET /documents/stats analog (coordinates_store.py:81-110): count +
     oldest/newest document by timestamp."""

@@ -128,6 +128,23 @@ def embedding_neardups(spark, sf_dir):
     )
 
 
+def dedup_corpus_kept(spark, sf_dir):
+    """Composed exact+minhash-LSH dedup pipeline — surviving doc ids
+    (rows-only check; the LSH verify step is xxhash/md5-chain heavy)."""
+    kept = D.dedup_corpus(_docs(spark, sf_dir), threshold=0.7)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: deterministic codebook + n_probe-list search
+    (rows-only check; codebook lives driver-side)."""
+    emb = _emb(spark, sf_dir)
+    cents = S.ivf_centroids(emb, n_lists=8, seed=ANN_SEED, iterations=1)
+    return S.ann_topk_ivf(
+        emb, _query_vec(spark, sf_dir), cents, k=ANN_K, n_probe=2
+    )
+
+
 def image_features_fake(spark, sf_dir):
     """Multimodal plumbing demo: documents bytes as fake image payloads
     through the Arrow-batched feature stage (rows-only check)."""
@@ -380,6 +397,8 @@ SPARK_QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     # rows-only (xxhash64 / sha256-plumbing — not portable to DuckDB)
+    "dedup_corpus_kept": dedup_corpus_kept,
+    "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
     "embedding_neardups": embedding_neardups,
     "image_features": image_features_fake,

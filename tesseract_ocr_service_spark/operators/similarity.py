@@ -124,6 +124,103 @@ def ann_topk_lsh(
     )
 
 
+# ------------------------------------------------------------------ IVF
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 1,
+) -> list[list[float]]:
+    """Deterministic IVF codebook: seed centroids are a reproducible
+    hash-sample of the corpus (rows whose xxhash64(id) mod M == 0,
+    first n_lists by id — partitioning-independent), refined by
+    ``iterations`` Lloyd steps computed as DataFrame aggregations
+    (assign via argmax cosine, re-center via per-list mean). Driver only
+    ever holds n_lists * dim floats."""
+    seeds = (
+        df.select(id_col, vec_col)
+        .where(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)) % 7 == 0)
+        .orderBy(id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    cents = [list(r[vec_col]) for r in seeds]
+    for _ in range(iterations):
+        assigned = df.select(
+            F.col(vec_col).alias("v"), ivf_assign(F.col(vec_col), cents).alias("list_id")
+        )
+        dim = len(cents[0])
+        means = (
+            assigned.groupBy("list_id")
+            .agg(
+                *[
+                    F.avg(F.element_at(F.col("v").cast("array<double>"), i + 1)).alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_list = {r["list_id"]: [r[f"c{i}"] for i in range(dim)] for r in means}
+        cents = [by_list.get(j, cents[j]) for j in range(len(cents))]
+    return cents
+
+
+def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
+    """list_id = argmax over centroids of cosine(v, c) — an unrolled
+    greatest-of-K expression (K small; JVM-side)."""
+    v = vec_col.cast("array<double>")
+    best_id = F.lit(0)
+    best_sim = cosine(v, F.array(*[F.lit(float(x)) for x in centroids[0]]))
+    for j, c in enumerate(centroids[1:], start=1):
+        sim = cosine(v, F.array(*[F.lit(float(x)) for x in c]))
+        better = sim > best_sim
+        best_id = F.when(better, F.lit(j)).otherwise(best_id)
+        best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_id
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score only the ``n_probe`` inverted lists whose
+    centroids are closest to the query. At scale the list_id is a
+    partition/bucket key, so probing is a physical partition read."""
+    def cos_py(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return num / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda j: (-cos_py(query_vec, centroids[j]), j),
+    )
+    probe = ranked[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
+        .where(F.col("list_id").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
