@@ -101,9 +101,12 @@ def extract(
     """pages -> one wide extracted row per document (EXTRACTED_SCHEMA).
 
     ``salt_partitions`` > 0 adds an explicit hash(url)-salted repartition
-    before the kernel — breaks up domain-skewed input splits (a hot
-    domain's fat pages land in one parquet file otherwise). 0 = narrow
-    plan, rely on splittable parquet + AQE.
+    before the kernel — breaks up byte-skewed input splits (heavy-tailed
+    page sizes mean a split's row count says nothing about its work).
+    0 = narrow zero-shuffle plan. Measured guidance: on the synthetic
+    heavy-tail corpus the salted plan (2x cores) is ~3.3x faster than
+    the narrow plan at local[32] (BENCH/BASELINE.md) — at cluster scale
+    prefer salting whenever input files aren't size-uniform.
 
     ``languages`` optionally gates rows by the `lang` column (the
     reference's language config, ocr/schemas.py:38-41, as a relational

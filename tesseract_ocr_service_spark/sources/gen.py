@@ -122,7 +122,17 @@ def _html_doc(r: random.Random) -> tuple[bytes, dict]:
     parts.append(boiler_nav("nav"))
     if r.random() < 0.5:
         parts.append(boiler_nav("header"))
-    for _ in range(r.randint(1, 6)):
+    # heavy-tailed page sizes (FIXTURES.md §1: ~1 KB .. ~1 MB): most
+    # pages are a few short blocks; ~3% are long reads (10-80 blocks);
+    # ~0.3% are huge listicles (up to ~1 MB of HTML).
+    u = r.random()
+    if u < 0.003:
+        n_blocks = r.randint(400, 2000)
+    elif u < 0.03:
+        n_blocks = r.randint(10, 80)
+    else:
+        n_blocks = r.randint(1, 6)
+    for _ in range(n_blocks):
         parts.append(content_block())
         if r.random() < 0.3:
             parts.append(boiler_linkfarm())
