@@ -220,6 +220,21 @@ def document_json(spark: SparkSession, spans_path: str, url: str) -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int = 16, key: str = "url"
+) -> None:
+    """Persist hash-bucketed by `key` so later equi-joins/groupBys on it
+    co-locate WITHOUT a shuffle (SURVEY.md §4 partitioning strategy; at
+    10^12 docs, re-shuffling the corpus for every downstream join is the
+    dominant avoidable cost). Requires a warehouse (saveAsTable)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 def register_views(spark: SparkSession, out_root: str) -> None:
     """Expose the output tables to spark.sql() as temp views:
     `extracted` (wide, incl. counters+spans) and `lineage`."""
