@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": R.top_tokens,
         "lang_token_stats": R.lang_token_stats,
         "sessionize": R.sessionize,
+        "asof_last_error": R.asof_last_error,
     }
 
 
@@ -257,6 +258,21 @@ def oracle_sql() -> dict[str, str]:
                    max(n_events) AS longest_session,
                    CAST(sum(n_events) AS BIGINT) AS n_events_total
             FROM per_session GROUP BY user_id
+        """,
+        "asof_last_error": """
+            WITH clicks AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'click'
+            ),
+            errors AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'error'
+            )
+            SELECT c.event_id AS click_id,
+                   e.event_id AS last_error_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts
+            FROM clicks c ASOF LEFT JOIN errors e
+              ON c.user_id = e.user_id AND c.ts >= e.ts
         """,
         "top_customers_by_region": """
             WITH counts AS (

@@ -278,6 +278,28 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataF
     )
 
 
+# --- as-of join: for each click, the latest error of the same user at
+# or before it (operators/asof.py; DuckDB's native ASOF JOIN is the
+# oracle).
+def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id"
+    )
+    j = asof_join(clicks, errors, on="ts", by="user_id", right_cols=["event_id"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_right").alias("last_error_id"),
+        F.date_format(F.col("ts_right"), fmt).alias("last_error_ts"),
+    )
+
+
 def top_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-dim join chain: region ⋈ nation ⋈ customer ⋈ orders,
     top-5 customers per region by order count (window top-k)."""
