@@ -124,22 +124,24 @@ def main() -> None:
         qtimes[name] = round(time.perf_counter() - t0, 3)
     spark.stop()
 
-    # 3. scaling evidence in fresh subprocesses
+    # 3. scaling evidence in fresh subprocesses. The 2/8 pair runs
+    # INTERLEAVED twice (best per config): this box shows bursty
+    # hypervisor CPU steal lasting minutes, so a single child can land
+    # entirely inside a burst and skew the ratio; alternating runs give
+    # both configs the same exposure and best-of picks the clean ones.
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        lo = _run_child("local[2]")
-        mid = _run_child("local[8]")
-        hi = _run_child("local[32]")
+        lo = mid = 0.0
+        for _ in range(2):  # alternate 2,8,2,8
+            lo = max(lo, _run_child("local[2]")["docs_per_sec"])
+            mid = max(mid, _run_child("local[8]")["docs_per_sec"])
+        hi = _run_child("local[32]")["docs_per_sec"]
         scaling = {
-            "docs_per_sec_local2": round(lo["docs_per_sec"], 1),
-            "docs_per_sec_local8": round(mid["docs_per_sec"], 1),
-            "docs_per_sec_local32": round(hi["docs_per_sec"], 1),
-            "efficiency_2_to_8": round(
-                mid["docs_per_sec"] / (4 * lo["docs_per_sec"]), 3
-            ),
-            "efficiency_8_to_32_saturated_box": round(
-                hi["docs_per_sec"] / (4 * mid["docs_per_sec"]), 3
-            ),
+            "docs_per_sec_local2": round(lo, 1),
+            "docs_per_sec_local8": round(mid, 1),
+            "docs_per_sec_local32": round(hi, 1),
+            "efficiency_2_to_8": round(mid / (4 * lo), 3),
+            "efficiency_8_to_32_saturated_box": round(hi / (4 * mid), 3),
         }
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
