@@ -77,6 +77,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_token_stats": R.lang_token_stats,
         "sessionize": R.sessionize,
         "asof_last_error": R.asof_last_error,
+        "range_join_purchases_near_errors": R.range_join_purchases_near_errors,
+        "daily_event_pivot": R.daily_event_pivot,
+        "value_percentiles": R.value_percentiles,
     }
 
 
@@ -258,6 +261,36 @@ def oracle_sql() -> dict[str, str]:
                    max(n_events) AS longest_session,
                    CAST(sum(n_events) AS BIGINT) AS n_events_total
             FROM per_session GROUP BY user_id
+        """,
+        "range_join_purchases_near_errors": """
+            WITH p AS (
+                SELECT user_id, epoch(ts) AS p_ts, event_id AS purchase_id
+                FROM events WHERE event_type = 'purchase'
+            ),
+            e AS (
+                SELECT user_id, epoch(ts) AS e_ts, event_id AS error_id
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT DISTINCT purchase_id, error_id
+            FROM p JOIN e ON p.user_id = e.user_id
+                        AND abs(p.p_ts - e.e_ts) <= 300
+        """,
+        "daily_event_pivot": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+                   count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+                   count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                       AS n_purchase,
+                   count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+                   count(*) AS n_total
+            FROM events GROUP BY 1
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.9), 4) AS p90,
+                   round(quantile_cont(value, 0.99), 4) AS p99
+            FROM events GROUP BY event_type
         """,
         "asof_last_error": """
             WITH clicks AS (

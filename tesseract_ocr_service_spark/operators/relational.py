@@ -300,6 +300,68 @@ def asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- range join via time-bucketization (Spark lacks a native range
+# join; bucketing the range key turns it into an equi-join + residual
+# filter — the standard scale pattern, pyspark_guide "as-of/range join").
+def range_join_purchases_near_errors(
+    spark: SparkSession, sf_dir: str, window_s: int = 300
+) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", epoch.alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", epoch.alias("e_ts"), F.col("event_id").alias("error_id")
+    )
+    # bucket width = window: a match |p-e| <= w lies in the same or an
+    # adjacent bucket, so each error probes 3 buckets (explode) and the
+    # join is a plain equi-join on (user_id, bucket).
+    p_b = purchases.withColumn(
+        "bucket", (F.col("p_ts") / window_s).cast("bigint")
+    )
+    e_b = errors.withColumn(
+        "bucket",
+        F.explode(
+            F.array(
+                *[
+                    (F.col("e_ts") / window_s).cast("bigint") + d
+                    for d in (-1, 0, 1)
+                ]
+            )
+        ),
+    )
+    return (
+        p_b.join(e_b, ["user_id", "bucket"])
+        .where(F.abs(F.col("p_ts") - F.col("e_ts")) <= window_s)
+        .select("purchase_id", "error_id")
+        .distinct()
+    )
+
+
+# --- pivot: per-day event-type counts as columns (guide OLAP pattern;
+# expressed as conditional aggregation so the oracle SQL is identical).
+def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cnt = lambda t: F.count(F.when(F.col("event_type") == t, 1)).alias(
+        f"n_{t}"
+    )
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        cnt("click"), cnt("view"), cnt("purchase"), cnt("error"),
+        F.count("*").alias("n_total"),
+    )
+
+
+# --- exact percentiles (continuous interpolation) per group.
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
 def top_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-dim join chain: region ⋈ nation ⋈ customer ⋈ orders,
     top-5 customers per region by order count (window top-k)."""
