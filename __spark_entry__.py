@@ -301,11 +301,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, event_id FROM events
                 WHERE event_type = 'error'
             )
+            -- LATERAL instead of DuckDB's native ASOF JOIN: ASOF leaves
+            -- equal-timestamp ties unspecified, while the engine's rule
+            -- is greatest-payload-wins; ORDER BY ts DESC, event_id DESC
+            -- pins the identical deterministic choice.
             SELECT c.event_id AS click_id,
                    e.event_id AS last_error_id,
                    strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_error_ts
-            FROM clicks c ASOF LEFT JOIN errors e
-              ON c.user_id = e.user_id AND c.ts >= e.ts
+            FROM clicks c LEFT JOIN LATERAL (
+                SELECT event_id, ts FROM errors er
+                WHERE er.user_id = c.user_id AND er.ts <= c.ts
+                ORDER BY er.ts DESC, er.event_id DESC LIMIT 1
+            ) e ON true
         """,
         "top_customers_by_region": """
             WITH counts AS (

@@ -40,42 +40,47 @@ def asof_join(
     ``on`` value itself is always emitted as ``<on><suffix>``.
 
     Deterministic under ties: among right rows sharing the same ``on``,
-    the one with the greatest payload tuple (ordered by ``right_cols``)
-    wins — an explicit rule where DuckDB/pandas leave it unspecified.
+    the one with the greatest payload tuple (field order: ``on``, then
+    ``right_cols``) wins — an explicit rule where DuckDB/pandas leave it
+    unspecified. Right rows with a NULL ``on`` are excluded (they precede
+    nothing — pandas merge_asof and SQL ``<=`` agree).
     """
     carry = [on] + [c for c in right_cols if c != on]
+    # the carried payload travels as ONE struct so the matched row is
+    # atomic — per-column last_value(ignorenulls) would stitch together
+    # columns from different right rows whenever a payload field is NULL.
+    r_struct = F.struct(*[F.col(c).alias(c) for c in carry])
     l_tagged = left.withColumn("_side", F.lit(1))
-    for c in carry:
-        l_tagged = l_tagged.withColumn(
-            f"_r_{c}", F.lit(None).cast(right.schema[c].dataType)
-        )
-    r_tagged = right.select(
+    r_tagged = right.where(
+        F.col(on).isNotNull()  # a NULL-ts right row precedes nothing
+    ).select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in carry],
+        r_struct.alias("_r"),
+    )
+    l_tagged = l_tagged.withColumn(
+        "_r", F.lit(None).cast(r_tagged.schema["_r"].dataType)
     )
     u = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
     # right rows order before left rows at equal `on` (inclusive <=);
-    # ties among right rows resolved by the payload columns.
+    # ties among right rows resolved by the payload struct (greatest
+    # wins via last-in-order).
     w = (
         Window.partitionBy(by)
         .orderBy(
             F.col(on).asc(),
             F.col("_side").asc(),
-            *[F.col(f"_r_{c}").asc_nulls_first() for c in carry],
+            F.col("_r").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = u
-    for c in carry:
-        matched = matched.withColumn(
-            f"_m_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
-    out = matched.where(F.col("_side") == 1)
+    out = u.withColumn(
+        "_m", F.last("_r", ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
     keep = [c for c in left.columns]
     return out.select(
         *keep,
-        *[F.col(f"_m_{c}").alias(f"{c}{suffix}") for c in carry],
+        *[F.col("_m")[c].alias(f"{c}{suffix}") for c in carry],
     )

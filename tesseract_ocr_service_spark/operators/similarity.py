@@ -148,6 +148,13 @@ def ivf_centroids(
         .limit(n_lists)
         .collect()
     )
+    if len(seeds) < n_lists:
+        # tiny corpus: the hash sample under-fills — fall back to the
+        # first rows by id (still deterministic); a corpus smaller than
+        # n_lists yields one list per row.
+        seeds = df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
+    if not seeds:
+        raise ValueError("ivf_centroids: empty corpus")
     cents = [list(r[vec_col]) for r in seeds]
     for _ in range(iterations):
         assigned = df.select(
