@@ -252,13 +252,18 @@ def page_confidence(records: pd.DataFrame) -> pd.DataFrame:
     including empty-text ones; structural rows carry conf == -1 and are
     excluded. Missing (doc, page) pairs mean "no conf>=0 records" -> the
     caller fills 0.0.
+
+    The int cast happens BEFORE the >= 0 filter: the reference includes
+    any record where int(conf) >= 0 (ocr_processor.py:87-93), so a
+    fractional conf in (-1, 0) truncates to 0 and IS counted (numpy
+    astype truncates toward zero, same as Python int()).
     """
-    r = records.loc[records["conf"] >= 0, ["doc", "page_number", "conf"]]
+    r = records[["doc", "page_number", "conf"]].astype({"conf": "int64"})
+    r = r.loc[r["conf"] >= 0]
     if r.empty:
         return pd.DataFrame({"doc": [], "page_number": [], "confidence": []})
     return (
-        r.astype({"conf": "int64"})
-        .groupby(["doc", "page_number"], sort=True)["conf"]
+        r.groupby(["doc", "page_number"], sort=True)["conf"]
         .mean()
         .reset_index()
         .rename(columns={"conf": "confidence"})

@@ -88,9 +88,16 @@ def _route(payload: Any, max_bytes: int) -> tuple[str, str | None]:
         return "rejected", "file_too_large"
     if payload.startswith(pdfstream.MAGIC):
         return "pdf", None
-    # inspect only a small prefix: lstrip() on the full payload would
-    # copy up to max_file_size bytes per document in the kernel hot path
-    if payload[:256].lstrip()[:1] == b"<":
+    # HTML detection contract: a UTF-8 BOM is stripped, then the first
+    # non-whitespace byte within the first 256 bytes must be '<'. The
+    # 256-byte cap is deliberate (documented contract): lstrip() on the
+    # full payload would copy up to max_file_size bytes per document in
+    # the kernel hot path, and real HTML with >256 bytes of leading
+    # whitespace does not occur in crawl data.
+    head = payload[:259]
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+    if head.lstrip()[:1] == b"<":
         return "html", None
     return "rejected", "invalid_payload"
 

@@ -71,8 +71,9 @@ def dedup_exact(
 
 def word_shingles(text_col, n: int = 3):
     """Distinct word n-gram shingle array over normalized text; docs
-    shorter than n words get their whole text as one shingle."""
-    toks = T.tokens(T.normalized(text_col))
+    shorter than n words get their whole text as one shingle. NULL text
+    behaves like '' (one empty shingle) — same rule as shingle_rows."""
+    toks = T.tokens(T.normalized(F.coalesce(text_col, F.lit(""))))
     cnt = F.size(toks)
     return F.array_distinct(
         F.when(

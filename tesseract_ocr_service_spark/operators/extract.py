@@ -129,17 +129,24 @@ def probe_page_count(pages: DataFrame) -> DataFrame:
     (get_pdf_page_count, reference ``pdf_processor.py:106-121`` — pdfinfo
     probe without rendering). Here: count page markers in the raw
     payload relationally — html docs are 1 page, `%PDF` streams carry
-    one '"page_number"' marker per page, everything else 0. A pure
-    column expression: no kernel, no Python."""
+    one '"page_number":' marker per page, everything else 0. A pure
+    column expression: no kernel, no Python.
+
+    The marker is anchored to the JSON *key* position ('"page_number":'
+    with the trailing colon), so a word whose text merely contains the
+    phrase "page_number" does not overcount; a word text of the full
+    key-colon form would still — the probe trades exactness for a
+    zero-parse scan, the same trade pdfinfo makes."""
     # cast, not decode(): decode throws MALFORMED_CHARACTER_CODING on
     # garbage payloads; cast substitutes replacement chars.
     body = F.col("html").cast("string")
+    marker = '"page_number":'
     marker_count = (
         (
             F.length(body)
-            - F.length(F.replace(body, F.lit('"page_number"'), F.lit("")))
+            - F.length(F.replace(body, F.lit(marker), F.lit("")))
         )
-        / F.length(F.lit('"page_number"'))
+        / F.length(F.lit(marker))
     ).cast("int")
     is_pdf = F.expr("substring(html, 1, 4)") == F.lit(b"%PDF")
     is_html = F.ltrim(body).startswith("<")

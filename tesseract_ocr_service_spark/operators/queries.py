@@ -163,14 +163,21 @@ def image_features_fake(spark, sf_dir):
 
 # ----------------------------------------------------------- oracle sql
 
-#: normalized token list (matches textstats.normalized + tokens)
+#: normalized token list (matches textstats.normalized + tokens).
+#: coalesce(text, '') pins the engine's NULL-text semantics: a NULL-text
+#: document behaves like an empty one (one '' shingle) instead of
+#: vanishing — without it DuckDB's [NULL] list is dropped by
+#: list_distinct while the Spark side keeps the doc.
 _TOKS_NORM = (
-    r"list_filter(string_split(trim(regexp_replace(lower(text), '\s+', ' ', "
-    r"'g')), ' '), x -> x <> '')"
+    r"list_filter(string_split(trim(regexp_replace(lower(coalesce(text, "
+    r"'')), '\s+', ' ', 'g')), ' '), x -> x <> '')"
 )
 #: raw whitespace tokens (matches textstats.tokens, no lowering)
 _TOKS_RAW = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
+#: coalesce inside the ELSE branch: DuckDB's array_to_string([]) is NULL
+#: (not ''), and list_distinct would drop the NULL — an empty/NULL-text
+#: document must contribute one '' shingle, same as Spark shingle_rows.
 _SHINGLES = f"""
 norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
 shingled AS (
@@ -178,7 +185,7 @@ shingled AS (
         CASE WHEN len(toks) >= 3
              THEN [array_to_string(toks[i:i+2], ' ')
                    for i in generate_series(1, len(toks) - 2)]
-             ELSE [array_to_string(toks, ' ')] END) AS sh
+             ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS sh
     FROM norm
 )
 """

@@ -218,17 +218,27 @@ def json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- training-data op: corpus token frequency (top-k tokens) — the
-# explode/aggregate/window shape every vocabulary build uses.
+# explode/aggregate/top-k shape every vocabulary build uses.
 def top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    # ordered limit -> TakeOrderedAndProject: per-partition top-k merged
+    # on the driver, NEVER a global single-partition window (the
+    # distinct-token table is billions of rows at web scale; an
+    # unpartitioned WindowExec moves all of it to one task). The rank is
+    # assigned AFTER the limit over the k-row result: coalesce(1) of k
+    # rows + a sorted single partition makes monotonically_increasing_id
+    # the 0-based rank.
+    limited = counts.orderBy(F.desc("n"), F.asc("tok")).limit(k)
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        limited.coalesce(1)
+        .sortWithinPartitions(F.desc("n"), F.asc("tok"))
+        .withColumn(
+            "rank", (F.monotonically_increasing_id() + 1).cast("int")
+        )
         .select("tok", "n", "rank")
     )
 
