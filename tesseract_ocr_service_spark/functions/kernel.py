@@ -102,16 +102,60 @@ def _route(payload: Any, max_bytes: int) -> tuple[str, str | None]:
     return "rejected", "invalid_payload"
 
 
+def _row_selections(
+    batch: pd.DataFrame, cfg: ExtractConfig, n: int
+) -> list[tuple]:
+    """Per-document page selection: optional per-row columns ``pages``
+    (array<int>), ``page_start``, ``page_end`` override the job-level
+    config field-by-field (NULL falls back to the ExtractConfig value).
+
+    This completes the reference's per-request OCRConfig contract
+    (ocr/main.py:104-131; field semantics ocr/schemas.py:26-29) — the
+    priority rule (explicit list > range > all) is applied downstream by
+    pdfstream.select_pages on the resolved values.
+    """
+    sel = [(cfg.pages, cfg.page_start, cfg.page_end)] * n
+    if not ({"pages", "page_start", "page_end"} & set(batch.columns)):
+        return sel
+    pl_col = batch["pages"].tolist() if "pages" in batch.columns else None
+    ps_col = (
+        batch["page_start"].tolist() if "page_start" in batch.columns else None
+    )
+    pe_col = (
+        batch["page_end"].tolist() if "page_end" in batch.columns else None
+    )
+
+    def _i(v):  # Arrow nullable ints arrive as float NaN
+        return None if v is None or v != v else int(v)
+
+    out = []
+    for d in range(n):
+        pl = cfg.pages
+        if pl_col is not None and pl_col[d] is not None:
+            pl = tuple(int(x) for x in pl_col[d])
+        ps = _i(ps_col[d]) if ps_col is not None else None
+        if ps is None:
+            ps = cfg.page_start
+        pe = _i(pe_col[d]) if pe_col is not None else None
+        if pe is None:
+            pe = cfg.page_end
+        out.append((pl, ps, pe))
+    return out
+
+
 def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     """Extract one Arrow batch of pages rows -> one wide row per document.
 
     Input columns: url, warc_ts, html, lang (the noise column ``text`` is
-    pruned before the kernel — column-pruning is part of the contract).
+    pruned before the kernel — column-pruning is part of the contract),
+    plus the optional per-row config columns ``pages``/``page_start``/
+    ``page_end`` (see :func:`_row_selections`).
     Output columns: :data:`OUTPUT_COLUMNS` (schema.EXTRACTED_SCHEMA).
     """
     n = len(batch)
     urls = batch["url"].tolist()
     payloads = batch["html"].tolist()
+    selections = _row_selections(batch, cfg, n)
 
     # per-doc state -------------------------------------------------
     status = [STATUS_OK] * n
@@ -137,12 +181,13 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             error[d] = reason
             continue
 
+        sel_pages, sel_start, sel_end = selections[d]
         if kind == "html":
             # one synthetic page (page_number=1) per HTML document; page
             # selection applies uniformly to both payload kinds, so a
             # selection that excludes page 1 empties the document.
             if pdfstream.select_pages(
-                [{"page_number": 1}], cfg.pages, cfg.page_start, cfg.page_end
+                [{"page_number": 1}], sel_pages, sel_start, sel_end
             ) == []:
                 status[d] = STATUS_EMPTY
                 error[d] = "no pages to process"
@@ -179,7 +224,7 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         try:
             pages = pdfstream.decode(payloads[d])
             pages = pdfstream.select_pages(
-                pages, cfg.pages, cfg.page_start, cfg.page_end
+                pages, sel_pages, sel_start, sel_end
             )
         except pdfstream.DocumentParseError as e:
             status[d] = STATUS_ERROR

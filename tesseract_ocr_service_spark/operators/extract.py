@@ -111,8 +111,18 @@ def extract(
     ``languages`` optionally gates rows by the `lang` column (the
     reference's language config, ocr/schemas.py:38-41, as a relational
     predicate per SURVEY.md D7) — a pushed-down filter, not kernel work.
+
+    Per-row config: if the input carries ``pages`` (array<int>),
+    ``page_start`` or ``page_end`` columns, they ride into the kernel and
+    override the job-level ExtractConfig per document (the reference's
+    per-request OCRConfig, ocr/main.py:104-131).
     """
-    df = pages.select(*KERNEL_INPUT)
+    per_row = [
+        c
+        for c in ("pages", "page_start", "page_end")
+        if c in pages.columns
+    ]
+    df = pages.select(*KERNEL_INPUT, *per_row)
     if languages:
         df = df.where(F.col("lang").isin(list(languages)))
     if salt_partitions > 0:

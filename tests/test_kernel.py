@@ -279,3 +279,64 @@ def test_batch_mixed_kinds_alignment():
         "second html doc",
     ]
     assert list(out["status"]) == ["ok", "ok", "rejected", "ok"]
+
+
+# ------------------------------------------------- per-row config columns
+
+
+def _three_page_doc() -> bytes:
+    return pdfstream.encode(
+        [
+            {
+                "page_number": p,
+                "width": 100,
+                "height": 200,
+                "words": [(1, 1, 1, 1, f"p{p}", 0, 0, 10, 10, 90)],
+            }
+            for p in (1, 2, 3)
+        ]
+    )
+
+
+def test_per_row_page_selection_overrides_config():
+    """Optional pages/page_start/page_end columns override ExtractConfig
+    per document; NULL falls back (ocr/main.py:104-131 per-request
+    OCRConfig)."""
+    doc = _three_page_doc()
+    html = b"<html><body><p>one two three four</p></body></html>"
+    batch = pd.DataFrame(
+        {
+            "url": [f"u{i}" for i in range(5)],
+            "warc_ts": pd.Timestamp("2026-01-05"),
+            "html": [doc, doc, doc, doc, html],
+            "lang": "eng",
+            # explicit list wins over the row's own range (priority rule)
+            "pages": [[2], None, None, [1, 3], None],
+            "page_start": [1.0, 2.0, None, 1.0, 2.0],
+            "page_end": [1.0, None, 2.0, None, float("nan")],
+        }
+    )
+    out = kernel.extract_batch(batch, ExtractConfig())
+    assert [p["page_number"] for p in out.loc[0, "pages"]] == [2]
+    assert [p["page_number"] for p in out.loc[1, "pages"]] == [2, 3]
+    assert [p["page_number"] for p in out.loc[2, "pages"]] == [1, 2]
+    assert [p["page_number"] for p in out.loc[3, "pages"]] == [1, 3]
+    # html doc: page_start=2 excludes the synthetic page 1 -> empty
+    assert out.loc[4, "status"] == "empty"
+
+
+def test_per_row_null_falls_back_to_job_config():
+    doc = _three_page_doc()
+    batch = pd.DataFrame(
+        {
+            "url": ["u0"],
+            "warc_ts": pd.Timestamp("2026-01-05"),
+            "html": [doc],
+            "lang": "eng",
+            "pages": [None],
+            "page_start": [None],
+            "page_end": [None],
+        }
+    )
+    out = kernel.extract_batch(batch, ExtractConfig(page_end=2))
+    assert [p["page_number"] for p in out.loc[0, "pages"]] == [1, 2]
