@@ -254,17 +254,26 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` rows of k/bands; docs
     sharing any band digest are candidates.
-    -> (band, band_key, n_docs, member_ids) buckets with >= 2 docs."""
+    -> (band, band_key, n_docs, member_ids) buckets with >= 2 docs.
+
+    ``sigs`` (id, sig) lets the caller reuse an already-computed
+    signature DataFrame — the shingle/minhash pass is the expensive
+    stage and must not run twice in a compose (dedup_corpus)."""
     if k % bands != 0:
         raise ValueError(
             f"k={k} not divisible by bands={bands}: trailing signature "
             "components would be silently ignored"
         )
     rows_per_band = k // bands
-    with_sig = minhash_signatures_agg(df, id_col, text_col, k, n)
+    with_sig = (
+        sigs
+        if sigs is not None
+        else minhash_signatures_agg(df, id_col, text_col, k, n)
+    )
     bands_df = with_sig.select(
         "id",
         F.posexplode(
@@ -307,7 +316,7 @@ def minhash_dedup_pairs(
     -> (id_a, id_b, est_jaccard)."""
     with_sig = minhash_signatures_agg(df, id_col, text_col, k, n)
     cands = (
-        minhash_lsh_candidates(df, id_col, text_col, k, bands, n)
+        minhash_lsh_candidates(df, id_col, text_col, k, bands, n, sigs=with_sig)
         .select(F.explode(F.col("member_ids")).alias("id_a"), "member_ids")
         .select("id_a", F.explode("member_ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..functions import textstats as T
 from . import dedup as D
 from . import multimodal as M
+from . import pdf_bridge as P
 from . import similarity as S
 
 ANN_PLANES = 8
@@ -121,18 +122,27 @@ def simhash_fingerprints(spark, sf_dir):
     return sh.join(rolling, "doc_id")
 
 
+NEARDUP_T = 0.3
+NEARDUP_PLANES = 6
+NEARDUP_BANDS = 4
+
+
 def embedding_neardups(spark, sf_dir):
-    """LSH-bucketed near-dup pairs — Spark-only (rows-only check)."""
+    """Multi-band LSH-bucketed near-dup pairs, exact-cosine verified."""
     return S.embedding_neardup_pairs(
-        _emb(spark, sf_dir), threshold=0.3, n_planes=6, dim=ANN_DIM
+        _emb(spark, sf_dir),
+        threshold=NEARDUP_T,
+        n_planes=NEARDUP_PLANES,
+        bands=NEARDUP_BANDS,
+        dim=ANN_DIM,
     )
 
 
 def dedup_corpus_kept(spark, sf_dir):
-    """Composed exact+minhash-LSH dedup pipeline — surviving doc ids
-    (rows-only check; the LSH verify step is xxhash/md5-chain heavy)."""
+    """Composed exact+minhash-LSH dedup pipeline — surviving doc ids.
+    The whole chain is md5-based, so DuckDB replays it end to end."""
     kept = D.dedup_corpus(_docs(spark, sf_dir), threshold=0.7)
-    return kept.select("doc_id").orderBy("doc_id")
+    return kept.select("doc_id")
 
 
 def ann_ivf_topk(spark, sf_dir):
@@ -175,20 +185,28 @@ _TOKS_NORM = (
 #: raw whitespace tokens (matches textstats.tokens, no lowering)
 _TOKS_RAW = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
-#: coalesce inside the ELSE branch: DuckDB's array_to_string([]) is NULL
-#: (not ''), and list_distinct would drop the NULL — an empty/NULL-text
-#: document must contribute one '' shingle, same as Spark shingle_rows.
-_SHINGLES = f"""
-norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+def _shingle_ctes(src: str = "documents", n: int = 3) -> str:
+    """norm/shingled CTE pair over ``src`` — distinct word n-gram
+    shingles of normalized text (matches dedup.shingle_rows).
+
+    coalesce inside the ELSE branch: DuckDB's array_to_string([]) is
+    NULL (not ''), and list_distinct would drop the NULL — an
+    empty/NULL-text document must contribute one '' shingle, same as
+    Spark shingle_rows."""
+    return f"""
+norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM {src}),
 shingled AS (
     SELECT doc_id, list_distinct(
-        CASE WHEN len(toks) >= 3
-             THEN [array_to_string(toks[i:i+2], ' ')
-                   for i in generate_series(1, len(toks) - 2)]
+        CASE WHEN len(toks) >= {n}
+             THEN [array_to_string(toks[i:i+{n - 1}], ' ')
+                   for i in generate_series(1, len(toks) - {n - 1})]
              ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS sh
     FROM norm
 )
 """
+
+
+_SHINGLES = _shingle_ctes("documents")
 
 
 def _sql_dedup_exact() -> str:
@@ -370,6 +388,104 @@ def _sql_ann_lsh() -> str:
     """
 
 
+def _sql_dedup_corpus_kept(
+    threshold: float = 0.7, k: int = 16, bands: int = 4
+) -> str:
+    """DuckDB replay of dedup.dedup_corpus: exact dedup (min doc_id per
+    normalized-md5 fingerprint) -> minhash sigs over survivors -> banded
+    LSH candidates -> signature-agreement verify -> drop larger ids."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
+        for i in range(k)
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh{i}" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+        WITH fp AS (
+            SELECT doc_id, text,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM documents
+        ),
+        survivors AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY doc_id) AS rn
+                FROM fp
+            ) WHERE rn = 1
+        ),
+        {_shingle_ctes("survivors")},
+        sigs AS (SELECT doc_id, {mins} FROM shingled),
+        banded AS ({band_rows}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        losers AS (
+            SELECT DISTINCT c.id_b
+            FROM cands c
+            JOIN sigs sa ON sa.doc_id = c.id_a
+            JOIN sigs sb ON sb.doc_id = c.id_b
+            WHERE round(({eq}) / {float(k)}, 4) >= {threshold}
+        )
+        SELECT s.doc_id FROM survivors s
+        LEFT JOIN losers l ON s.doc_id = l.id_b
+        WHERE l.id_b IS NULL
+    """
+
+
+def _sql_embedding_neardups() -> str:
+    """DuckDB replay of the multi-band sign-LSH near-dup pairs."""
+    planes = S.hyperplane_signs(
+        NEARDUP_BANDS * NEARDUP_PLANES, ANN_DIM, ANN_SEED
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + _bucket_sql(
+            planes[b * NEARDUP_PLANES : (b + 1) * NEARDUP_PLANES],
+            "embedding::DOUBLE[]",
+        )
+        + " AS bucket FROM embeddings"
+        for b in range(NEARDUP_BANDS)
+    )
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(ea.embedding::DOUBLE[], "
+        "ea.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(eb.embedding::DOUBLE[], "
+        "eb.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH banded AS ({band_rows}),
+        cands AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round({cos}, 4) AS sim
+        FROM cands
+        JOIN embeddings ea ON ea.vec_id = id_a
+        JOIN embeddings eb ON eb.vec_id = id_b
+        WHERE round({cos}, 4) >= {NEARDUP_T}
+    """
+
+
 def _sql_quality_filter() -> str:
     return f"""
         WITH t AS (
@@ -403,11 +519,15 @@ SPARK_QUERIES = {
     "lang_id": lang_id_q,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
-    # rows-only (xxhash64 / sha256-plumbing — not portable to DuckDB)
+    # PDF-path kernel semantics, driver-oracle-checked end to end
+    "pdf_kernel_pages": P.pdf_kernel_pages,
+    "pdf_page_slice": P.pdf_page_slice,
+    "pdf_spans_flat": P.pdf_spans_flat,
     "dedup_corpus_kept": dedup_corpus_kept,
+    "embedding_neardups": embedding_neardups,
+    # rows-only (xxhash64 — not portable to DuckDB)
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
-    "embedding_neardups": embedding_neardups,
     "image_features": image_features_fake,
 }
 
@@ -422,4 +542,9 @@ ORACLES = {
     "lang_id": _sql_lang_id(),
     "ann_cosine_topk": _sql_ann_brute(),
     "ann_lsh_topk": _sql_ann_lsh(),
+    "dedup_corpus_kept": _sql_dedup_corpus_kept(),
+    "embedding_neardups": _sql_embedding_neardups(),
+    "pdf_kernel_pages": P.sql_pdf_kernel_pages(),
+    "pdf_page_slice": P.sql_pdf_page_slice(),
+    "pdf_spans_flat": P.sql_pdf_spans_flat(),
 }

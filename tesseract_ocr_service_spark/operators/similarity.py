@@ -232,34 +232,62 @@ def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 8,
+    bands: int = 4,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicates: candidate pairs share an LSH
-    bucket; verified by exact cosine >= threshold.
-    -> (id_a, id_b, sim)."""
-    b = with_lsh_buckets(df, n_planes, dim, seed, vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "bucket"
+    """Embedding-cosine near-duplicates via MULTI-BAND sign-LSH:
+    ``bands`` independent sets of ``n_planes`` hyperplanes (mirroring
+    minhash banding, dedup.py); candidate pairs share a bucket in ANY
+    band, then ONE exact-cosine verification pass.
+    -> (id_a, id_b, sim).
+
+    Scale shape: a single band of H planes caps the bucket space at 2^H
+    — at 10^12 docs each bucket holds ~N/2^H vectors and the
+    within-bucket self-join is quadratic in that. Multi-band keeps each
+    band's bucket count while multiplying recall; the candidate set
+    stays slim (id pairs only — vectors are joined back by id, never
+    carried through the explode)."""
+    planes = hyperplane_signs(bands * n_planes, dim, seed)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    band_buckets = F.array(
+        *[
+            lsh_bucket(F.col("v"), planes[b * n_planes : (b + 1) * n_planes])
+            for b in range(bands)
+        ]
     )
-    l, r = b.alias("l"), b.alias("r")
-    return (
+    banded = base.select(
+        "id", F.posexplode(band_buckets).alias("band", "bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.id") < F.col("r.id")),
         )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
                 cosine(
-                    F.col("l.v").cast("array<double>"),
-                    F.col("r.v").cast("array<double>"),
+                    F.col("v_a").cast("array<double>"),
+                    F.col("v_b").cast("array<double>"),
                 ),
                 4,
             ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
     )
