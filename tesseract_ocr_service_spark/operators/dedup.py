@@ -352,27 +352,42 @@ def rolling_fingerprint_table(
     id_col: str = "doc_id",
     text_col: str = "text",
     window: int = 8,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Corpus-scale winnowing fingerprint: min xxhash64 over
-    `window`-gram shingles (same value as
-    ``functions.textstats.rolling_fingerprint``, but via the codegen'd
-    shingle_rows shape instead of interpreted array slices).
-    -> (id, rolling_fp)."""
+    """Corpus-scale winnowing fingerprint: min hash over `window`-gram
+    shingles (same value as ``functions.textstats.rolling_fingerprint``,
+    but via the codegen'd shingle_rows shape instead of interpreted
+    array slices). -> (id, rolling_fp).
+
+    hash_fn='xxhash64' (default, bigint — fastest JVM-side) or 'md5'
+    (hex string — reproducible in any engine, the oracle-checked form;
+    min over hex strings is order-isomorphic to min over the bits)."""
     sh = shingle_rows(df, id_col, text_col, window, distinct=False)
-    return sh.groupBy("id").agg(
-        F.min(F.xxhash64("shingle")).alias("rolling_fp")
+    h = (
+        F.xxhash64("shingle")
+        if hash_fn == "xxhash64"
+        else F.md5(F.encode(F.col("shingle"), "utf-8"))
     )
+    return sh.groupBy("id").agg(F.min(h).alias("rolling_fp"))
 
 
 # ------------------------------------------------------------ simhash
 
 
 def simhash_table(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Corpus-scale simhash: explode token hashes -> 64 sum-aggregates
-    (JVM hash-aggregate with map-side combine; no higher-order array
-    folds). -> (id, sh). Empty docs get sh = 0."""
+    """Corpus-scale simhash: explode token hashes -> per-bit
+    sum-aggregates (JVM hash-aggregate with map-side combine; no
+    higher-order array folds). -> (id, sh). Empty docs get sh = 0.
+
+    hash_fn='xxhash64' (default): 64-bit token hash, fastest JVM path.
+    hash_fn='md5_60': the first 15 md5 hex chars parsed as a 60-bit int
+    — identical in any engine (DuckDB: ('0x'||substr(md5(t),1,15))::
+    BIGINT), the oracle-checked form."""
     # plain explode(split) + relational filter-in-aggregate: stays in
     # whole-stage codegen (the higher-order F.filter form is interpreted
     # and dominated profiles). split() yields [''] for empty text, so
@@ -384,7 +399,15 @@ def simhash_table(
             F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+")
         ).alias("tok"),
     )
-    h = F.xxhash64("tok")
+    if hash_fn == "xxhash64":
+        h, n_bits = F.xxhash64("tok"), 64
+    elif hash_fn == "md5_60":
+        h = F.conv(
+            F.substring(F.md5(F.encode(F.col("tok"), "utf-8")), 1, 15), 16, 10
+        ).cast("bigint")
+        n_bits = 60
+    else:  # pragma: no cover - guarded API
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     word = F.col("tok") != ""
     bit_sums = toks.groupBy("id").agg(
         F.count(F.when(word, 1)).alias("n"),
@@ -393,11 +416,11 @@ def simhash_table(
                 F.when(word, F.shiftright(h, b).bitwiseAND(F.lit(1)))
                 .otherwise(F.lit(0))
             ).alias(f"c{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
     sh = F.lit(0).cast("bigint")
-    for b in range(64):
+    for b in range(n_bits):
         sh = sh + F.shiftleft(
             F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint")),

@@ -113,12 +113,16 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def simhash_fingerprints(spark, sf_dir):
-    """xxhash64-based — Spark-only (rows-only driver check)."""
+    """md5-hash variants of simhash + winnowing fingerprint — identical
+    bit patterns reproducible in DuckDB (the xxhash64 variants are the
+    production default; the algorithm under test is the same)."""
     docs = _docs(spark, sf_dir)
-    sh = D.simhash_table(docs).withColumnRenamed("id", "doc_id")
-    rolling = D.rolling_fingerprint_table(docs, window=8).withColumnRenamed(
+    sh = D.simhash_table(docs, hash_fn="md5_60").withColumnRenamed(
         "id", "doc_id"
     )
+    rolling = D.rolling_fingerprint_table(
+        docs, window=8, hash_fn="md5"
+    ).withColumnRenamed("id", "doc_id")
     return sh.join(rolling, "doc_id")
 
 
@@ -145,13 +149,29 @@ def dedup_corpus_kept(spark, sf_dir):
     return kept.select("doc_id")
 
 
+IVF_LISTS = 8
+IVF_PROBE = 2
+
+
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN: deterministic codebook + n_probe-list search
-    (rows-only check; codebook lives driver-side)."""
+    """IVF ANN over a MATERIALIZED index: the codebook is the
+    deterministic id%7 seed sample (iterations=0 -> DuckDB can rebuild
+    it), list assignment is persisted partitioned by list_id once per
+    corpus, and the query is a partition-pruned read of the two probed
+    lists."""
+    import os
+
     emb = _emb(spark, sf_dir)
-    cents = S.ivf_centroids(emb, n_lists=8, seed=ANN_SEED, iterations=1)
-    return S.ann_topk_ivf(
-        emb, _query_vec(spark, sf_dir), cents, k=ANN_K, n_probe=2
+    cents = S.ivf_centroids(
+        emb, n_lists=IVF_LISTS, seed=ANN_SEED, iterations=0
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_ivf/{tag}_l{IVF_LISTS}_i0"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        S.build_ivf_index(emb, cents, path)
+    return S.ann_topk_ivf_indexed(
+        spark, path, _query_vec(spark, sf_dir), cents, k=ANN_K,
+        n_probe=IVF_PROBE,
     )
 
 
@@ -486,6 +506,119 @@ def _sql_embedding_neardups() -> str:
     """
 
 
+def _sql_simhash_fingerprints(n_bits: int = 60) -> str:
+    """DuckDB replay of the md5-60 simhash + md5 winnowing fingerprint."""
+    csum = ", ".join(
+        f"CAST(sum((hv >> {b}) & 1) AS BIGINT) AS c{b}" for b in range(n_bits)
+    )
+    sh_terms = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN CAST({1 << b} AS BIGINT) "
+        "ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return rf"""
+        WITH rawtoks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(coalesce(text, ''), '\s+'))
+                       AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv
+            FROM rawtoks WHERE tok <> ''
+        ),
+        bits AS (SELECT doc_id, count(*) AS n, {csum} FROM h GROUP BY doc_id),
+        simh AS (
+            SELECT d.doc_id,
+                   CAST(coalesce({sh_terms}, 0) AS BIGINT) AS sh
+            FROM documents d LEFT JOIN bits USING (doc_id)
+        ),
+        {_shingle_ctes("documents", n=8)},
+        roll AS (
+            SELECT doc_id,
+                   list_min(list_transform(sh, s -> md5(s))) AS rolling_fp
+            FROM shingled
+        )
+        SELECT simh.doc_id, simh.sh, roll.rolling_fp
+        FROM simh JOIN roll USING (doc_id)
+    """
+
+
+def _sql_image_features() -> str:
+    """DuckDB replay of the deterministic fake image decoder: dimensions
+    and a sha256 content digest derived from the payload bytes
+    (payload = utf-8 of text; DuckDB VARCHARs are utf-8, so
+    sha256(text) == sha256 of the payload)."""
+    return """
+        WITH p AS (
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   sha256(coalesce(text, '')) AS sha,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS n_bytes
+            FROM documents
+        )
+        SELECT asset_id,
+               CAST(64 + ('0x' || substr(sha, 1, 2))::INT * 4 AS INT)
+                   AS width,
+               CAST(64 + ('0x' || substr(sha, 3, 2))::INT * 4 AS INT)
+                   AS height,
+               n_bytes,
+               sha AS sha256
+        FROM p
+    """
+
+
+def _sql_ann_ivf(n_lists: int = 8, n_probe: int = 2) -> str:
+    """DuckDB replay of the IVF search: rebuild the deterministic seed
+    codebook (id % 7 sample, iterations=0), assign every vector to its
+    argmax-cosine list, keep the n_probe lists closest to the query."""
+    cos_ec = (
+        "list_dot_product(e.embedding::DOUBLE[], c.c) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], "
+        "e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.c, c.c)))"
+    )
+    cos_qc = (
+        "list_dot_product(q, c) / "
+        "(sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(c, c)))"
+    )
+    cos_aq = (
+        "list_dot_product(a.embedding::DOUBLE[], q) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], "
+        "a.embedding::DOUBLE[])) * sqrt(list_dot_product(q, q)))"
+    )
+    return f"""
+        WITH seeds AS (
+            SELECT vec_id, embedding::DOUBLE[] AS c FROM embeddings
+            WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT {n_lists}
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, c
+            FROM seeds
+        ),
+        qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings
+               WHERE vec_id = 0),
+        probes AS (
+            SELECT list_id FROM cents c, qv
+            ORDER BY {cos_qc} DESC, list_id LIMIT {n_probe}
+        ),
+        assign AS (
+            SELECT vec_id, embedding FROM (
+                SELECT e.vec_id, e.embedding, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_ec} DESC,
+                                                   c.list_id) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1 AND list_id IN (SELECT list_id FROM probes)
+        )
+        SELECT vec_id, sim FROM (
+            SELECT a.vec_id, round({cos_aq}, 4) AS sim,
+                   row_number() OVER (ORDER BY round({cos_aq}, 4) DESC,
+                                      a.vec_id) AS rn2
+            FROM assign a, qv
+        ) WHERE rn2 <= {ANN_K}
+    """
+
+
 def _sql_quality_filter() -> str:
     return f"""
         WITH t AS (
@@ -525,7 +658,6 @@ SPARK_QUERIES = {
     "pdf_spans_flat": P.pdf_spans_flat,
     "dedup_corpus_kept": dedup_corpus_kept,
     "embedding_neardups": embedding_neardups,
-    # rows-only (xxhash64 — not portable to DuckDB)
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
     "image_features": image_features_fake,
@@ -544,6 +676,9 @@ ORACLES = {
     "ann_lsh_topk": _sql_ann_lsh(),
     "dedup_corpus_kept": _sql_dedup_corpus_kept(),
     "embedding_neardups": _sql_embedding_neardups(),
+    "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),
+    "simhash_fingerprints": _sql_simhash_fingerprints(),
+    "image_features": _sql_image_features(),
     "pdf_kernel_pages": P.sql_pdf_kernel_pages(),
     "pdf_page_slice": P.sql_pdf_page_slice(),
     "pdf_spans_flat": P.sql_pdf_spans_flat(),

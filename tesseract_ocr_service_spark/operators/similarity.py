@@ -136,14 +136,16 @@ def ivf_centroids(
     iterations: int = 1,
 ) -> list[list[float]]:
     """Deterministic IVF codebook: seed centroids are a reproducible
-    hash-sample of the corpus (rows whose xxhash64(id) mod M == 0,
-    first n_lists by id — partitioning-independent), refined by
+    sample of the corpus (rows with id % 7 == 0, first n_lists by id —
+    partitioning-independent AND replayable in plain SQL, so the DuckDB
+    oracle can rebuild the identical codebook), refined by
     ``iterations`` Lloyd steps computed as DataFrame aggregations
-    (assign via argmax cosine, re-center via per-list mean). Driver only
-    ever holds n_lists * dim floats."""
+    (assign via argmax cosine, re-center via per-list mean);
+    ``iterations=0`` keeps the raw seed codebook. Driver only ever
+    holds n_lists * dim floats."""
     seeds = (
         df.select(id_col, vec_col)
-        .where(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)) % 7 == 0)
+        .where(F.col(id_col).cast("bigint") % 7 == 0)
         .orderBy(id_col)
         .limit(n_lists)
         .collect()
@@ -190,6 +192,75 @@ def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
     return best_id
 
 
+def _cos_py(a, b) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(y * y for y in b) ** 0.5
+    return num / (na * nb) if na and nb else 0.0
+
+
+def probe_lists(
+    query_vec: list[float], centroids: list[list[float]], n_probe: int
+) -> list[int]:
+    """The ``n_probe`` list ids whose centroids are closest to the query
+    (driver-side over the tiny codebook; deterministic id tie-break)."""
+    ranked = sorted(
+        range(len(centroids)),
+        key=lambda j: (-_cos_py(query_vec, centroids[j]), j),
+    )
+    return ranked[:n_probe]
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the inverted file: list assignment computed ONCE over
+    the corpus, persisted partitioned by list_id. This is what makes IVF
+    an index — queries read only the probed list partitions (parquet
+    PartitionFilters prune the rest physically), instead of recomputing
+    the argmax-over-centroids for every vector per query (which costs
+    more than brute-force scoring itself)."""
+    (
+        df.select(id_col, vec_col)
+        .withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+
+
+def ann_topk_ivf_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a materialized index: a partition-pruned read of
+    the ``n_probe`` closest lists, then exact scoring + ordered limit."""
+    probe = probe_lists(query_vec, centroids, n_probe)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        spark.read.parquet(index_path)
+        .where(F.col("list_id").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias(
+                "sim"
+            ),
+        )
+        .orderBy(F.desc("sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ann_topk_ivf(
     df: DataFrame,
     query_vec: list[float],
@@ -199,20 +270,11 @@ def ann_topk_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: score only the ``n_probe`` inverted lists whose
-    centroids are closest to the query. At scale the list_id is a
-    partition/bucket key, so probing is a physical partition read."""
-    def cos_py(a, b):
-        num = sum(x * y for x, y in zip(a, b))
-        na = sum(x * x for x in a) ** 0.5
-        nb = sum(y * y for y in b) ** 0.5
-        return num / (na * nb) if na and nb else 0.0
-
-    ranked = sorted(
-        range(len(centroids)),
-        key=lambda j: (-cos_py(query_vec, centroids[j]), j),
-    )
-    probe = ranked[:n_probe]
+    """Index-free IVF search (assignment recomputed inline): ONLY for
+    one-shot queries where building the index wouldn't amortize — for
+    any repeated-query workload use build_ivf_index +
+    ann_topk_ivf_indexed, which prunes physically."""
+    probe = probe_lists(query_vec, centroids, n_probe)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("list_id", ivf_assign(F.col(vec_col), centroids))

@@ -2,13 +2,17 @@
 
 Pattern: parquet file-source stream -> the SAME fused extraction kernel
 (mapInPandas works unchanged on streaming DataFrames — it is stateless)
--> ``foreachBatch`` append sink partitioned by warc_day.
+-> ``foreachBatch`` sink partitioned by (epoch_id, warc_day) with
+DYNAMIC partition overwrite.
 
 Exactly-once story: the streaming checkpoint records which input files
-each epoch consumed; `foreachBatch` output is idempotent per epoch via
-the txn dir convention (parquet append of a deterministic epoch is safe
-to retry because a replayed epoch rewrites the same rows — dedupe on
-read with `dropDuplicates(url)` if an epoch is ever double-committed).
+each epoch consumed, and the sink keys its output on the epoch —
+a replayed epoch dynamically OVERWRITES exactly its own
+``epoch_id=N/warc_day=D`` partitions (same deterministic rows), never
+appending duplicates and never touching other epochs' partitions. The
+combination (checkpointed source offsets + idempotent epoch-keyed
+overwrite) is the standard Structured Streaming exactly-once recipe;
+same mechanism as the batch commit protocol in ``plans/commit.py``.
 
 ``trigger(availableNow=True)`` drains everything that has landed and
 stops — the cron-able "catch up the table" mode the reference's
@@ -42,6 +46,26 @@ def stream_pages(
     return reader.load(landing_path)
 
 
+def epoch_sink(out_root: str, cfg: ExtractConfig = ExtractConfig()):
+    """foreachBatch sink: extract + write keyed by (epoch_id, warc_day)
+    with dynamic partition overwrite — replaying an epoch rewrites
+    exactly its own partitions (idempotent), instead of appending
+    duplicate rows."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        wide = X.extract(batch_df, cfg)
+        (
+            wide.withColumn("epoch_id", F.lit(int(epoch_id)))
+            .withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch_id", "warc_day")
+            .parquet(f"{out_root}/extracted")
+        )
+
+    return sink
+
+
 def start_incremental_extract(
     spark: SparkSession,
     landing_path: str,
@@ -53,19 +77,9 @@ def start_incremental_extract(
     """Start (and return) the streaming query. With available_now=True it
     drains the backlog and finishes (await with .awaitTermination())."""
     pages = stream_pages(spark, landing_path)
-
-    def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        wide = X.extract(batch_df, cfg)
-        (
-            wide.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
-            .write.mode("append")
-            .partitionBy("warc_day")
-            .parquet(f"{out_root}/extracted")
-        )
-
-    writer = pages.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint
-    )
+    writer = pages.writeStream.foreachBatch(
+        epoch_sink(out_root, cfg)
+    ).option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

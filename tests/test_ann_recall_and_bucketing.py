@@ -59,6 +59,35 @@ def test_ivf_recall_beats_single_probe_lsh(emb):
     assert sum(recalls) / len(recalls) >= 0.4, recalls
 
 
+def test_ivf_index_prunes_partitions_and_matches_inline(emb, spark, tmp_path):
+    """The materialized IVF index must (a) return exactly what the
+    inline-assignment search returns and (b) plan the probe as a
+    partition-pruned scan (PartitionFilters on list_id — only the
+    probed list directories are read)."""
+    cents = S.ivf_centroids(emb, n_lists=8, iterations=0)
+    path = str(tmp_path / "ivf_index")
+    S.build_ivf_index(emb, cents, path)
+    q = emb.where(F.col("vec_id") == 3).collect()[0]
+    qv = list(q["embedding"])
+    indexed = S.ann_topk_ivf_indexed(spark, path, qv, cents, k=10, n_probe=2)
+    inline = S.ann_topk_ivf(emb, qv, cents, k=10, n_probe=2).collect()
+    assert [(r["vec_id"], r["sim"]) for r in indexed.collect()] == [
+        (r["vec_id"], r["sim"]) for r in inline
+    ]
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan
+    # the probed read must touch only the 2 probed lists
+    probed = S.probe_lists(qv, cents, 2)
+    scanned = (
+        spark.read.parquet(path)
+        .where(F.col("list_id").isin(probed))
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    assert {r["list_id"] for r in scanned} == set(probed)
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """bucketBy co-location: equi-join of two tables bucketed on the
     same key plans with ZERO Exchange nodes."""

@@ -40,3 +40,21 @@ def test_streaming_incremental_extract(spark, tmp_path):
     assert ext.select("url").distinct().count() == 160
     ok = ext.where(F.col("status") == "ok").count()
     assert ok > 100
+
+
+@pytest.mark.slow
+def test_epoch_sink_replay_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch epoch (same epoch_id, same rows) must
+    overwrite its own partitions, not append duplicates."""
+    out = str(tmp_path / "out")
+    batch = gen.generate_pages(spark, 40, seed=3, partitions=2)
+    sink = ingest.epoch_sink(out)
+    sink(batch, 7)
+    first = spark.read.parquet(f"{out}/extracted").count()
+    sink(batch, 7)  # crash-retry replay of the same epoch
+    ext = spark.read.parquet(f"{out}/extracted")
+    assert ext.count() == first == 40
+    assert ext.select("url").distinct().count() == 40
+    # a different epoch's output lands beside it untouched
+    sink(gen.generate_pages(spark, 10, seed=4, partitions=1), 8)
+    assert spark.read.parquet(f"{out}/extracted").count() == 50
