@@ -310,11 +310,17 @@ def minhash_dedup_pairs(
     bands: int = 4,
     n: int = 3,
     threshold: float = 0.7,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets, verified by exact signature
     agreement ratio (estimated jaccard) >= threshold.
-    -> (id_a, id_b, est_jaccard)."""
-    with_sig = minhash_signatures_agg(df, id_col, text_col, k, n)
+    -> (id_a, id_b, est_jaccard). ``sigs`` reuses a precomputed
+    (id, sig) DataFrame for BOTH the banding and the verify join."""
+    with_sig = (
+        sigs
+        if sigs is not None
+        else minhash_signatures_agg(df, id_col, text_col, k, n)
+    )
     cands = (
         minhash_lsh_candidates(df, id_col, text_col, k, bands, n, sigs=with_sig)
         .select(F.explode(F.col("member_ids")).alias("id_a"), "member_ids")
@@ -408,14 +414,21 @@ def simhash_table(
         n_bits = 60
     else:  # pragma: no cover - guarded API
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    word = F.col("tok") != ""
-    bit_sums = toks.groupBy("id").agg(
-        F.count(F.when(word, 1)).alias("n"),
+    # materialize the hash ONCE per token row before aggregating: each
+    # of the n_bits sum-aggregates embeds its own copy of the hash
+    # expression, and Catalyst does not CSE across aggregate exprs — an
+    # md5-based hash recomputed 60x per row cost 13x wall (measured).
+    # NULL hv for the '' structural row: sum() skips NULLs, count(hv)
+    # counts words — same votes as the word-predicate form.
+    hashed = toks.select(
+        "id", F.when(F.col("tok") != "", h).alias("hv")
+    )
+    bit_sums = hashed.groupBy("id").agg(
+        F.count("hv").alias("n"),
         *[
-            F.sum(
-                F.when(word, F.shiftright(h, b).bitwiseAND(F.lit(1)))
-                .otherwise(F.lit(0))
-            ).alias(f"c{b}")
+            F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1))).alias(
+                f"c{b}"
+            )
             for b in range(n_bits)
         ],
     )
@@ -445,13 +458,22 @@ def dedup_corpus(
     (each near-dup cluster keeps its min id). Returns the surviving
     rows of ``df``.
 
-    Scale shape: one fingerprint shuffle, one shingle/minhash pass, one
+    Scale shape: one fingerprint shuffle, ONE shingle/minhash pass
+    (signatures are persisted and reused by the banding and the verify
+    join — Catalyst does not reuse the exchange across the two
+    consumers, measured ~2x on the signature stage; at 10^12 docs the
+    equivalent is checkpointing the signature table to storage), one
     candidate-pair join on band digests — no pairwise full scan.
     """
+    from pyspark import StorageLevel
+
     survivors = dedup_exact(df, id_col, text_col)
+    sigs = minhash_signatures_agg(
+        survivors, id_col, text_col, minhash_k, 3
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_dedup_pairs(
         survivors, id_col, text_col, k=minhash_k, bands=bands, n=3,
-        threshold=threshold,
+        threshold=threshold, sigs=sigs,
     )
     # drop the larger id of every near-dup pair (transitively: anything
     # that is the bigger side of any pair is dropped — min-id per
