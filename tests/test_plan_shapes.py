@@ -59,3 +59,13 @@ def test_no_python_row_udfs_anywhere(spark, pages_path):
         R.pricing_summary(spark, "/root/testdata/sf0.001"),
     ]:
         assert "BatchEvalPython" not in _plan(df)
+
+
+def test_top_tokens_has_no_global_window(spark):
+    """top_tokens must rank via an ordered limit (per-partition top-k
+    merged on the driver), NEVER an unpartitioned WindowExec that drags
+    the billion-row distinct-token table onto one task."""
+    df = R.top_tokens(spark, "/root/testdata/sf0.001", k=20)
+    plan = _plan(df)
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
