@@ -103,27 +103,50 @@ def _ensure_corpus(spark) -> None:
     gen.write_pages(spark, CORPUS, BENCH_DOCS, seed=SEED, partitions=64)
 
 
-def _extract_wall(spark, repeats: int = 2) -> float:
+def _cpu_stat() -> tuple[int, int]:
+    """(busy_jiffies, steal_jiffies) from /proc/stat — hypervisor CPU
+    steal is directly observable per timing window."""
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:9]))
+    return sum(v) - v[3], v[7]  # busy = all - idle; col 7 = steal
+
+
+def _extract_wall(
+    spark, repeats: int = 2, max_attempts: int = 6, steal_cap: float = 0.03
+) -> float:
     """Wall seconds for the full extraction: warm once, then best-of-N
-    (min wall) — robust against transient background load.
+    CLEAN runs. This VM takes bursty hypervisor CPU steal (observed up
+    to ~14% of busy jiffies in 0.5 s windows, lasting minutes), so each
+    timed run measures its own steal fraction and polluted runs don't
+    count toward the N — a stolen run can only be slower, so taking the
+    min over all attempts stays honest while the retry loop ensures
+    enough unpolluted samples (bounded by max_attempts).
 
     Runs with the scale configuration: explicit xxhash64(url) salting at
-    a FIXED fine granularity (128 tasks) — the corpus has genuinely
-    heavy-tailed page sizes, and the unsalted narrow plan stalls on
-    byte-skewed input splits (measured 3.3x slower at 30k docs), while
-    cores-proportional salting is too coarse at low parallelism
-    (stragglers in the last wave). Fine fixed granularity is also the
-    real-cluster shape: task count tracks data, not cluster size."""
+    a FIXED fine granularity (128 tasks at 30k docs) — the corpus has
+    genuinely heavy-tailed page sizes, and the unsalted narrow plan
+    stalls on byte-skewed input splits (measured 3.3x slower at 30k
+    docs), while cores-proportional salting is too coarse at low
+    parallelism (stragglers in the last wave). Fine fixed granularity is
+    also the real-cluster shape: task count tracks data, not cluster
+    size."""
     from tesseract_ocr_service_spark.operators import extract as X
 
     salt = int(os.environ.get("SPARK_GRAFT_SALT", "128"))
     df = X.extract(X.read_pages(spark, CORPUS), salt_partitions=salt)
     df.write.format("noop").mode("overwrite").save()  # warm JVM/py workers
     best = float("inf")
-    for _ in range(repeats):
+    clean = attempts = 0
+    while clean < repeats and attempts < max_attempts:
+        attempts += 1
+        b0, s0 = _cpu_stat()
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
+        b1, s1 = _cpu_stat()
+        best = min(best, wall)
+        if (s1 - s0) <= steal_cap * max(1, b1 - b0):
+            clean += 1
     return best
 
 
