@@ -278,26 +278,41 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
         blocks_kept[d] = len(doc_block_ids)
 
     # ---- batch-wide columnar passes over the word table -------------
-    if _c_doc:
-        records = pd.DataFrame(cols)
-        records["text"] = records["text"].astype(str)
-    else:
-        records = pd.DataFrame(columns=_REC_COLS)
-
+    # Arrays, not a pandas DataFrame: constructing a dict-of-lists
+    # frame consolidates all int columns into one 2D block (vstack) —
+    # profiled at ~40% of the whole kernel. The assembly contract
+    # functions take the columns directly.
     text_map: dict[tuple[int, int], str] = {}
     spans_map: dict[tuple[int, int], list[dict]] = {}
     conf_map: dict[tuple[int, int], float] = {}
     nwords_map: dict[int, int] = {}
-    if len(records):
-        # one fused pass builds page texts + hierarchy together
-        text_map, spans_map = assembly.assemble_pages(
-            records, emit_spans=cfg.emit_spans
+    if _c_doc:
+        text_list = [str(t) for t in cols["text"]]
+        text_map, spans_map = assembly.assemble_pages_arrays(
+            _c_doc,
+            _c_page,
+            cols["block_num"],
+            cols["par_num"],
+            cols["line_num"],
+            text_list,
+            cols["left"],
+            cols["top"],
+            cols["width"],
+            cols["height"],
+            cols["conf"],
+            emit_spans=cfg.emit_spans,
+            as_tuples=True,  # structs in schema field order (Arrow-fast)
         )
-        confs = assembly.page_confidence(records)
-        for doc, pn, c in confs.itertuples(index=False):
+        for doc, pn, c in assembly.page_confidence_arrays(
+            _c_doc, _c_page, cols["conf"]
+        ):
             conf_map[(int(doc), int(pn))] = float(c)
-        for doc, nw in assembly.word_counts(records).itertuples(index=False):
-            nwords_map[int(doc)] = int(nw)
+        nwords_map = {
+            int(d): int(nw)
+            for d, nw in assembly.word_counts_arrays(
+                _c_doc, text_list
+            ).items()
+        }
 
     # ---- compose per-doc outputs ------------------------------------
     out_pages: list[list[dict]] = []

@@ -56,10 +56,14 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def extract_documents(
-    spark: SparkSession, sf_dir: str, cfg: ExtractConfig = ExtractConfig()
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: ExtractConfig = ExtractConfig(emit_spans=False),
 ) -> DataFrame:
     """Full kernel over HTML-wrapped documents -> (doc_id, canonical_text,
-    n_words, status)."""
+    n_words, status). Spans are off by default — this projection never
+    reads them (kernel-side column pruning); pass a cfg with
+    emit_spans=True to exercise the hierarchy branch."""
     pages = pages_from_documents(documents(spark, sf_dir))
     wide = X.extract(pages, cfg)
     return wide.select(

@@ -131,8 +131,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pdf_kernel_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-page PDF-path output of the real kernel: rotation, deskew,
-    corrected size, confidence mean, assembled page text."""
-    wide = X.extract(pdf_pages_from_documents(_docs(spark, sf_dir)))
+    corrected size, confidence mean, assembled page text.
+
+    emit_spans=False: this query never projects the hierarchy, so the
+    kernel skips building it (the kernel-side analog of column
+    pruning; pdf_spans_flat covers the spans branch)."""
+    wide = X.extract(
+        pdf_pages_from_documents(_docs(spark, sf_dir)),
+        ExtractConfig(emit_spans=False),
+    )
     pg = wide.select(
         F.col("url").cast("bigint").alias("doc_id"),
         F.explode("pages").alias("pg"),
@@ -171,7 +178,7 @@ def pdf_page_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(r == 2, F.lit(2)).otherwise(F.lit(None).cast("int")),
         )
     )
-    wide = X.extract(with_cfg, ExtractConfig())
+    wide = X.extract(with_cfg, ExtractConfig(emit_spans=False))
     out = wide.select(
         F.col("url").cast("bigint").alias("doc_id"),
         "status",

@@ -8,7 +8,7 @@ import pandas as pd
 import pytest
 
 from tesseract_ocr_service_spark.config import ExtractConfig
-from tesseract_ocr_service_spark.functions import htmlx, kernel, pdfstream
+from tesseract_ocr_service_spark.functions import assembly, htmlx, kernel, pdfstream
 
 from . import oracle
 
@@ -124,7 +124,7 @@ def test_html_unicode_content():
 
 def test_html_spans_geometry():
     row = one(H("<p>alpha beta gamma</p>"))
-    blocks = row["spans"][0]["blocks"]
+    blocks = assembly.blocks_to_dicts(row["spans"][0]["blocks"])
     assert len(blocks) == 1
     words = blocks[0]["paragraphs"][0]["lines"][0]["words"]
     assert [w["text"] for w in words] == ["alpha", "beta", "gamma"]
@@ -170,7 +170,7 @@ def test_pdf_assembly_matches_oracle():
     ]
     assert row["canonical_text"] == oracle.assemble_text(recs)
     assert row["avg_confidence"] == pytest.approx(oracle.page_confidence(recs))
-    assert row["spans"][0]["blocks"] == oracle.hierarchy(recs)
+    assert assembly.blocks_to_dicts(row["spans"][0]["blocks"]) == oracle.hierarchy(recs)
     assert row["status"] == "ok"
 
 
