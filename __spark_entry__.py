@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_purchases_near_errors": R.range_join_purchases_near_errors,
         "daily_event_pivot": R.daily_event_pivot,
         "value_percentiles": R.value_percentiles,
+        "domain_quota_sample": R.domain_quota_sample,
+        "train_val_test_split": R.train_val_test_split,
     }
 
 
@@ -313,6 +315,27 @@ def oracle_sql() -> dict[str, str]:
                 WHERE er.user_id = c.user_id AND er.ts <= c.ts
                 ORDER BY er.ts DESC, er.event_id DESC LIMIT 1
             ) e ON true
+        """,
+        "domain_quota_sample": """
+            SELECT doc_id, source, rk FROM (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (PARTITION BY source
+                                               ORDER BY doc_id) AS INT)
+                           AS rk
+                FROM documents
+            ) WHERE rk <= 20
+        """,
+        "train_val_test_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           ::INT % 100 AS b
+                FROM documents
+            )
         """,
         "top_customers_by_region": """
             WITH counts AS (

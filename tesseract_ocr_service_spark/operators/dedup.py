@@ -528,3 +528,92 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every vertex starts labeled with its own id; each round every
+    vertex takes the min of its label and its neighbors' labels; stop
+    when no label changes (or max_iter). -> (id, component_id) where
+    component_id = min vertex id of the component.
+
+    Scale shape: per round ONE equi-join edges⋈labels + ONE min
+    aggregate — both key-partitioned shuffles AQE can skew-split;
+    lineage is truncated every round with localCheckpoint (an iterative
+    plan otherwise grows unboundedly). Rounds needed = graph diameter
+    in the worst case; near-dup clusters are shallow (dups of a common
+    ancestor), so convergence is fast. For planet-scale graphs swap in
+    the large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same driver loop, fewer
+    rounds; min-propagation is the right simplicity/scale trade for
+    dedup graphs.
+    """
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint()
+    sym = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(
+            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["d"] == labels["id"])
+            .groupBy("s")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["s"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component_id"))
+
+
+def neardup_components(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    minhash_k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS (not just pairs): connected components
+    over the minhash-LSH-verified pair graph. -> (doc_id, component_id).
+    Docs with no near-dup edge form singleton components.
+
+    At corpus scale run dedup_exact first so identical docs don't all
+    land in every band bucket; here the full graph keeps the oracle
+    (a recursive-CTE transitive closure) exact over the same input.
+    """
+    pairs = minhash_dedup_pairs(
+        df, id_col, text_col, k=minhash_k, bands=bands, threshold=threshold
+    )
+    return connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        df.select(F.col(id_col).alias("id")),
+    ).select(F.col("id").alias("doc_id"), "component_id")

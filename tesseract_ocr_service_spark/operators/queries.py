@@ -149,6 +149,13 @@ def dedup_corpus_kept(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def neardup_components(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components (iterative min-label
+    propagation) over the minhash-LSH pair graph; oracle = DuckDB
+    recursive-CTE transitive closure over the same md5 chain."""
+    return D.neardup_components(_docs(spark, sf_dir), threshold=0.7)
+
+
 IVF_LISTS = 8
 IVF_PROBE = 2
 
@@ -469,6 +476,63 @@ def _sql_dedup_corpus_kept(
     """
 
 
+def _sql_neardup_components(
+    threshold: float = 0.7, k: int = 16, bands: int = 4
+) -> str:
+    """DuckDB replay of neardup_components: the same md5 minhash-LSH
+    verified pair graph, closed transitively with a RECURSIVE CTE;
+    component_id = min doc_id reachable."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
+        for i in range(k)
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh{i}" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    return f"""
+        WITH RECURSIVE
+        {_shingle_ctes("documents").lstrip()},
+        sigs AS (SELECT doc_id, {mins} FROM shingled),
+        banded AS ({band_rows}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+            SELECT c.id_a, c.id_b
+            FROM cands c
+            JOIN sigs sa ON sa.doc_id = c.id_a
+            JOIN sigs sb ON sb.doc_id = c.id_b
+            WHERE round(({eq}) / {float(k)}, 4) >= {threshold}
+        ),
+        edges AS (
+            SELECT id_a AS s, id_b AS d FROM verified
+            UNION
+            SELECT id_b AS s, id_a AS d FROM verified
+        ),
+        reach AS (
+            SELECT doc_id AS id, doc_id AS label FROM documents
+            UNION
+            SELECT e.d AS id, r.label FROM reach r JOIN edges e ON e.s = r.id
+        )
+        SELECT id AS doc_id, min(label) AS component_id
+        FROM reach GROUP BY id
+    """
+
+
 def _sql_embedding_neardups() -> str:
     """DuckDB replay of the multi-band sign-LSH near-dup pairs."""
     planes = S.hyperplane_signs(
@@ -657,6 +721,7 @@ SPARK_QUERIES = {
     "pdf_page_slice": P.pdf_page_slice,
     "pdf_spans_flat": P.pdf_spans_flat,
     "dedup_corpus_kept": dedup_corpus_kept,
+    "neardup_components": neardup_components,
     "embedding_neardups": embedding_neardups,
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
@@ -675,6 +740,7 @@ ORACLES = {
     "ann_cosine_topk": _sql_ann_brute(),
     "ann_lsh_topk": _sql_ann_lsh(),
     "dedup_corpus_kept": _sql_dedup_corpus_kept(),
+    "neardup_components": _sql_neardup_components(),
     "embedding_neardups": _sql_embedding_neardups(),
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),
     "simhash_fingerprints": _sql_simhash_fingerprints(),

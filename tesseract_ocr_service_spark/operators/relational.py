@@ -395,3 +395,40 @@ def top_customers_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("r_name", "c_custkey", "n_orders", "rank")
     )
+
+
+# --- training-data op: per-domain quota sampling (cap documents per
+# source/domain — the standard crawl-mix step before training). The
+# window is PARTITIONED by the quota key: each domain ranks its own
+# docs, no global sort anywhere.
+def domain_quota_sample(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
+# --- training-data op: deterministic hash split (train/val/test) — the
+# reproducible-split pattern: membership is a pure function of the
+# document id (md5 bucket), so any engine/rerun/backfill assigns
+# identically; no sampling state, no shuffle at all (narrow projection).
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -98,3 +98,19 @@ def test_document_json_and_sql_views(spark, tmp_path):
     if page["blocks"]:
         blk = page["blocks"][0]
         assert {"block_id", "bbox", "paragraphs"} <= set(blk)
+
+
+def test_connected_components_hand_graph(spark):
+    from tesseract_ocr_service_spark.operators import dedup as D
+    from pyspark.sql import functions as F
+
+    # components: {1,2,3,4} (chain), {5,6}, {7} (isolated), {8,9}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6), (9, 8)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 10)], ["id"])
+    out = {
+        r["id"]: r["component_id"]
+        for r in D.connected_components(edges, verts).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8}
