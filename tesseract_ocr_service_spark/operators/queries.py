@@ -98,6 +98,71 @@ def quality_filter(spark, sf_dir):
     )
 
 
+TFIDF_K = 3
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Per-document top-k TF-IDF terms (idf = ln(N/df)) — the
+    vocabulary-weighting op every retrieval/training mix uses.
+
+    Scale shape: tf is one (doc, tok) hash-aggregate; df reuses tf's
+    rows (one more aggregate on tok); ranking is a PARTITIONED window
+    (per doc), never global. The rank orders by the unrounded product
+    on both engines (exact ties share identical (tf, df) inputs, so
+    they tie identically; tok breaks them), and only the projected
+    value is rounded.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # driver scalar, matches the oracle's count(*)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                        r"\s+",
+                        " ",
+                    )
+                ),
+                " ",
+            )
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
+    scored = tf.join(dfreq, "tok").withColumn(
+        "_score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_score"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= TFIDF_K)
+        .select("doc_id", "tok", F.round("_score", 4).alias("tfidf"), "rk")
+    )
+
+
+def _sql_tfidf() -> str:
+    return f"""
+        WITH norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+        toks AS (SELECT doc_id, unnest(toks) AS tok FROM norm),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfq AS (SELECT tok, count(*) AS dfreq FROM tf GROUP BY tok),
+        n AS (SELECT count(*) AS n FROM documents)
+        SELECT doc_id, tok, round(score, 4) AS tfidf, rk FROM (
+            SELECT doc_id, tok,
+                   tf * ln(CAST(n AS DOUBLE) / dfreq) AS score,
+                   CAST(row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY tf * ln(CAST(n AS DOUBLE) / dfreq) DESC, tok
+                   ) AS INT) AS rk
+            FROM tf JOIN dfq USING (tok), n
+        ) WHERE rk <= {TFIDF_K}
+    """
+
+
 def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=ANN_K)
 
@@ -714,6 +779,7 @@ SPARK_QUERIES = {
     "token_counts_bpe": token_counts_bpe,
     "text_fingerprints": text_fingerprints,
     "lang_id": lang_id_q,
+    "tfidf_top_terms": tfidf_top_terms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     # PDF-path kernel semantics, driver-oracle-checked end to end
@@ -737,6 +803,7 @@ ORACLES = {
     "token_counts_bpe": _sql_bpe(),
     "text_fingerprints": _sql_fingerprint(),
     "lang_id": _sql_lang_id(),
+    "tfidf_top_terms": _sql_tfidf(),
     "ann_cosine_topk": _sql_ann_brute(),
     "ann_lsh_topk": _sql_ann_lsh(),
     "dedup_corpus_kept": _sql_dedup_corpus_kept(),
