@@ -334,8 +334,24 @@ def embedding_neardup_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    # Precompute each vector's norm ONCE (N rows) instead of inside the
+    # per-pair cosine (candidate pairs >> N): the pair stage then costs
+    # one dot product + a division. norm(v) here is the identical
+    # sqrt-of-fold expression, so sim values are bit-identical to the
+    # fused form (oracle-stable).
+    normed = base.select(
+        "id", "v", norm(F.col("v").cast("array<double>")).alias("nrm")
+    )
+    va = normed.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nrm").alias("n_a"),
+    )
+    vb = normed.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nrm").alias("n_b"),
+    )
     return (
         cands.join(va, "id_a")
         .join(vb, "id_b")
@@ -343,10 +359,11 @@ def embedding_neardup_pairs(
             "id_a",
             "id_b",
             F.round(
-                cosine(
+                dot(
                     F.col("v_a").cast("array<double>"),
                     F.col("v_b").cast("array<double>"),
-                ),
+                )
+                / (F.col("n_a") * F.col("n_b")),
                 4,
             ).alias("sim"),
         )
