@@ -55,6 +55,7 @@ def main(argv=None) -> int:
     from tesseract_ocr_service_spark.operators.extract import session_builder
     from tesseract_ocr_service_spark.plans import commit
 
+    langs = tuple(args.langs.split(",")) if args.langs else None
     cfg = ExtractConfig(
         pages=(
             tuple(int(x) for x in args.pages_list.split(","))
@@ -64,8 +65,15 @@ def main(argv=None) -> int:
         page_start=args.page_start,
         page_end=args.page_end,
         emit_spans=not args.no_spans,
+        # --langs drives BOTH the relational gate below and the config,
+        # so cfg.lang_string reports the languages this run actually
+        # accepted (it previously stayed at the default on gated runs).
+        **({"languages": langs} if langs else {}),
     )
     spark = session_builder(app="extract-job", master=args.master).getOrCreate()
+    from tesseract_ocr_service_spark.introspect import job_banner
+
+    print(json.dumps({"banner": job_banner(spark, cfg)}))
     summary = commit.run_checkpointed(
         spark,
         args.pages,
@@ -74,9 +82,7 @@ def main(argv=None) -> int:
         ts_from=args.ts_from,
         ts_to=args.ts_to,
         salt_partitions=args.salt,
-        languages=(
-            tuple(args.langs.split(",")) if args.langs else None
-        ),
+        languages=langs,
     )
     print(
         json.dumps(

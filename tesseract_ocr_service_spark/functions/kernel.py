@@ -81,6 +81,12 @@ def _route(payload: Any, max_bytes: int) -> tuple[str, str | None]:
     gate, then magic. HTML (leading '<') is a new accepted payload kind
     per the north_star; anything else is rejected, as a status row rather
     than an HTTP 400/413.
+
+    DOCUMENTED DELTA: the reference additionally gates on the upload's
+    declared Content-Type BEFORE sniffing magic (ocr/main.py:354-363) —
+    an HTTP-transport concern with no analog here: the pages schema
+    carries no MIME column, and crawl-sourced MIME labels are untrusted
+    anyway, so routing is decided by payload bytes alone (size → magic).
     """
     if payload is None or len(payload) == 0:
         return "rejected", "empty_payload"

@@ -26,10 +26,28 @@ worst-case candidate fan-out.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import textstats as T
+
+log = logging.getLogger(__name__)
+
+
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut an iterative plan's lineage. If the session has a RELIABLE
+    checkpoint dir configured (``spark.sparkContext.setCheckpointDir``)
+    use ``.checkpoint()`` — blocks live in fault-tolerant storage, so a
+    lost executor mid-iteration recovers instead of killing the job.
+    Otherwise fall back to ``localCheckpoint`` (executor-local blocks:
+    fine on local[n]/tests, NOT for thousand-executor clusters — set a
+    checkpoint dir there)."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def exact_duplicates(
@@ -478,7 +496,14 @@ def dedup_corpus(
     # drop the larger id of every near-dup pair (transitively: anything
     # that is the bigger side of any pair is dropped — min-id per
     # connected component survives for chains through the keeper).
-    losers = pairs.select(F.col("id_b").alias("_loser")).distinct()
+    # The loser-id set (small: one id per dropped doc) is materialized
+    # EAGERLY so the signature cache can be released right here — a
+    # long-lived session composing dedup_corpus repeatedly must not
+    # accumulate persisted signature blocks on executors.
+    losers = _truncate_lineage(
+        pairs.select(F.col("id_b").alias("_loser")).distinct()
+    )
+    sigs.unpersist()
     return survivors.join(
         losers, survivors[id_col] == losers["_loser"], "left_anti"
     )
@@ -537,6 +562,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation:
     every vertex starts labeled with its own id; each round every
@@ -546,33 +572,45 @@ def connected_components(
 
     Scale shape: per round ONE equi-join edges⋈labels + ONE min
     aggregate — both key-partitioned shuffles AQE can skew-split;
-    lineage is truncated every round with localCheckpoint (an iterative
-    plan otherwise grows unboundedly). Rounds needed = graph diameter
-    in the worst case; near-dup clusters are shallow (dups of a common
-    ancestor), so convergence is fast. For planet-scale graphs swap in
-    the large-star/small-star contraction (Kiveris et al., "Connected
+    lineage is truncated every round (an iterative plan otherwise grows
+    unboundedly) via a RELIABLE ``.checkpoint()`` when the session has
+    a checkpoint dir configured — on a real cluster localCheckpoint
+    blocks die with their executor and kill the job mid-iteration —
+    falling back to localCheckpoint otherwise (tests/local mode).
+    The per-round convergence probe doubles as lineage-safe `changed`
+    count; it IS a driver-blocking action per round — inherent to any
+    fixed-point loop (GraphX/GraphFrames block identically), bounded by
+    the graph diameter. Rounds needed = diameter in the worst case;
+    near-dup clusters are shallow (dups of a common ancestor), so
+    convergence is fast. For planet-scale graphs swap in the
+    large-star/small-star contraction (Kiveris et al., "Connected
     Components in MapReduce and Beyond") — same driver loop, fewer
     rounds; min-propagation is the right simplicity/scale trade for
     dedup graphs.
+
+    If the loop exits via ``max_iter`` with labels still changing, the
+    result is NOT a fixed point (would diverge from a transitive-closure
+    oracle on duplicate chains longer than max_iter) — that raises by
+    default; ``on_nonconverged='warn'`` downgrades to a logged warning.
     """
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint()
-    sym = (
+    labels = _truncate_lineage(
+        vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    )
+    sym = _truncate_lineage(
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .union(
             edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
         )
         .distinct()
-        .localCheckpoint()
     )
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["d"] == labels["id"])
             .groupBy("s")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             labels.join(neighbor_min, labels["id"] == neighbor_min["s"], "left")
             .select(
                 "id",
@@ -580,7 +618,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -591,6 +628,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components: NOT converged after {max_iter} rounds "
+            f"({changed} labels still changing) — components are partial; "
+            "raise max_iter (diameter bound) or use star-contraction"
+        )
+        if on_nonconverged == "warn":
+            log.warning(msg)
+        else:
+            raise RuntimeError(msg)
     return labels.select("id", F.col("label").alias("component_id"))
 
 

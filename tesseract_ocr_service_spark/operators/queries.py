@@ -230,14 +230,27 @@ def ann_ivf_topk(spark, sf_dir):
     deterministic id%7 seed sample (iterations=0 -> DuckDB can rebuild
     it), list assignment is persisted partitioned by list_id once per
     corpus, and the query is a partition-pruned read of the two probed
-    lists."""
+    lists. The cache key is a CONTENT fingerprint of the embeddings
+    table (absolute path + per-file size+mtime digest), so regenerated
+    data, two sf_dirs sharing a basename, or concurrent drivers can
+    never serve a stale or mismatched index."""
+    import hashlib
     import os
 
     emb = _emb(spark, sf_dir)
-    cents = S.ivf_centroids(
-        emb, n_lists=IVF_LISTS, seed=ANN_SEED, iterations=0
+    cents = S.ivf_centroids(emb, n_lists=IVF_LISTS, iterations=0)
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    h = hashlib.sha256(src.encode())
+    entries = (
+        sorted(os.scandir(src), key=lambda e: e.name)
+        if os.path.isdir(src)
+        else [src]
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    for e in entries:
+        p = e.path if hasattr(e, "path") else e
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
+    tag = h.hexdigest()[:16]
     path = f"/tmp/spark_graft_ivf/{tag}_l{IVF_LISTS}_i0"
     if not os.path.exists(f"{path}/_SUCCESS"):
         S.build_ivf_index(emb, cents, path)

@@ -130,7 +130,6 @@ def ann_topk_lsh(
 def ivf_centroids(
     df: DataFrame,
     n_lists: int = 16,
-    seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 1,
@@ -142,7 +141,18 @@ def ivf_centroids(
     ``iterations`` Lloyd steps computed as DataFrame aggregations
     (assign via argmax cosine, re-center via per-list mean);
     ``iterations=0`` keeps the raw seed codebook. Driver only ever
-    holds n_lists * dim floats."""
+    holds n_lists * dim floats.
+
+    The %7 sample requires a NUMERIC id: a non-castable id yields NULL
+    under cast('bigint'), the NULL%7 predicate filters every row, and
+    the sample under-fills — such corpora fall through to the
+    first-rows-by-id fallback below, which is still deterministic for
+    ANY id type (ordering on the original column).
+
+    Note the Lloyd step materializes one avg() aggregate per dimension
+    and collects per-list means per iteration — fine at dim<=64; at
+    dim ~1024 prefer iterations=0 or an array-aggregate re-center.
+    """
     seeds = (
         df.select(id_col, vec_col)
         .where(F.col(id_col).cast("bigint") % 7 == 0)
@@ -151,9 +161,9 @@ def ivf_centroids(
         .collect()
     )
     if len(seeds) < n_lists:
-        # tiny corpus: the hash sample under-fills — fall back to the
-        # first rows by id (still deterministic); a corpus smaller than
-        # n_lists yields one list per row.
+        # tiny corpus OR non-numeric ids: the %7 sample under-fills —
+        # fall back to the first rows by id (still deterministic); a
+        # corpus smaller than n_lists yields one list per row.
         seeds = df.select(id_col, vec_col).orderBy(id_col).limit(n_lists).collect()
     if not seeds:
         raise ValueError("ivf_centroids: empty corpus")

@@ -114,3 +114,73 @@ def test_connected_components_hand_graph(spark):
         for r in D.connected_components(edges, verts).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured the iterative plan truncates
+    lineage via RELIABLE .checkpoint() (fault-tolerant storage) and
+    produces identical components."""
+    from tesseract_ocr_service_spark.operators import dedup as D
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], ["id"])
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        out = {
+            r["id"]: r["component_id"]
+            for r in D.connected_components(edges, verts).collect()
+        }
+        # reliable checkpoint files actually materialized on disk
+        import os
+
+        files = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(str(tmp_path / "ckpt"))
+            for f in fs
+        ]
+        assert files, "no reliable checkpoint files written"
+    finally:
+        # reset for other tests (checkpointDir is a plain Scala var)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
+    assert out == expected
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter rounds must not silently return
+    partial labels (would diverge from a transitive-closure oracle)."""
+    from tesseract_ocr_service_spark.operators import dedup as D
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, n + 1)], ["id"])
+    with pytest.raises(RuntimeError, match="NOT converged"):
+        D.connected_components(edges, verts, max_iter=2)
+    # warn mode returns the partial labels instead
+    out = D.connected_components(
+        edges, verts, max_iter=2, on_nonconverged="warn"
+    )
+    assert out.count() == n
+
+
+def test_job_banner_fields(spark):
+    """The GET /health analog (reference ocr/main.py:63-101): engine +
+    Spark versions, master, effective conf, and every config knob."""
+    from tesseract_ocr_service_spark.config import ExtractConfig
+    from tesseract_ocr_service_spark.introspect import job_banner
+
+    b = job_banner(spark, ExtractConfig(languages=("rus", "eng")))
+    assert b["status"] == "ok"
+    assert b["engine_version"] and b["spark_version"]
+    assert b["master"].startswith("local")
+    assert b["conf"]["spark.sql.adaptive.enabled"] == "true"
+    assert b["config"]["skew_threshold"] == 0.3
+    assert b["lang_string"] == "rus+eng"
