@@ -50,6 +50,72 @@ def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def cap_buckets(
+    rows: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    op: str,
+    log_drops: bool = False,
+) -> DataFrame:
+    """Degenerate-bucket guard shared by every LSH-style self-join
+    (same discipline as ngram_jaccard_pairs's hot_shingle_cap): drop
+    ALL rows of buckets holding > ``cap`` members before the
+    within-bucket self-join. A bucket of m rows costs m^2/2 candidate
+    pairs — one degenerate corpus (10k identical texts/vectors) makes
+    one bucket quadratic, and AQE skew-split only shares that work, it
+    doesn't bound it.
+
+    No silent caps: ``log_drops=True`` runs ONE extra count aggregate
+    and logs how many buckets/rows were dropped (an eager driver
+    action, so operators default it off; bench/telemetry paths turn it
+    on and report the numbers). Recall note: members of a capped
+    bucket can still pair through their OTHER bands; a corpus that is
+    degenerate in every band (all-identical docs) should be
+    exact-deduped first — that's the documented pipeline order.
+    """
+    counts = rows.groupBy(*key_cols).agg(F.count("*").alias("_n"))
+    hot = counts.where(F.col("_n") > cap)
+    if log_drops:
+        s = hot.agg(
+            F.count("*").alias("nb"), F.sum("_n").alias("nr")
+        ).collect()[0]
+        if s["nb"]:
+            log.warning(
+                "%s: capped %d bucket(s) with > %d members "
+                "(%d candidate rows dropped)",
+                op,
+                s["nb"],
+                cap,
+                s["nr"],
+            )
+    return rows.join(hot.select(*key_cols), key_cols, "left_anti")
+
+
+def bucket_cap_stats(
+    rows: DataFrame, key_cols: list[str], cap: int
+) -> dict[str, int]:
+    """Telemetry for a prospective cap: {n_buckets, n_capped_buckets,
+    n_dropped_rows, max_bucket} — ONE aggregate job; bench reports
+    these alongside candidate-pair counts so capped coverage is
+    visible, never silent."""
+    row = (
+        rows.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("_n") > cap, 1).otherwise(0)).alias(
+                "n_capped_buckets"
+            ),
+            F.sum(F.when(F.col("_n") > cap, F.col("_n")).otherwise(0)).alias(
+                "n_dropped_rows"
+            ),
+            F.max("_n").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    return {k: int(row[k] or 0) for k in row.asDict()}
+
+
 def exact_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -273,6 +339,8 @@ def minhash_lsh_candidates(
     bands: int = 4,
     n: int = 3,
     sigs: DataFrame | None = None,
+    max_bucket: int | None = 5000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """LSH banding: signature split into `bands` rows of k/bands; docs
     sharing any band digest are candidates.
@@ -280,7 +348,14 @@ def minhash_lsh_candidates(
 
     ``sigs`` (id, sig) lets the caller reuse an already-computed
     signature DataFrame — the shingle/minhash pass is the expensive
-    stage and must not run twice in a compose (dedup_corpus)."""
+    stage and must not run twice in a compose (dedup_corpus).
+
+    ``max_bucket`` caps per-(band, band_key) membership BEFORE the
+    collect_list (see :func:`cap_buckets`) — a degenerate corpus
+    otherwise both blows the aggregation buffer (one array of N ids)
+    and goes quadratic in the downstream pair explode; None disables.
+    Identical docs should be exact-deduped first, which is what
+    dedup_corpus does."""
     if k % bands != 0:
         raise ValueError(
             f"k={k} not divisible by bands={bands}: trailing signature "
@@ -310,6 +385,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_key"),
     )
+    if max_bucket is not None:
+        bands_df = cap_buckets(
+            bands_df, ["band", "band_key"], max_bucket,
+            "minhash_lsh_candidates", log_drops,
+        )
     return (
         bands_df.groupBy("band", "band_key")
         .agg(
@@ -329,18 +409,24 @@ def minhash_dedup_pairs(
     n: int = 3,
     threshold: float = 0.7,
     sigs: DataFrame | None = None,
+    max_bucket: int | None = 5000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Candidate pairs from LSH buckets, verified by exact signature
     agreement ratio (estimated jaccard) >= threshold.
     -> (id_a, id_b, est_jaccard). ``sigs`` reuses a precomputed
-    (id, sig) DataFrame for BOTH the banding and the verify join."""
+    (id, sig) DataFrame for BOTH the banding and the verify join.
+    ``max_bucket``/``log_drops`` pass through to the banding cap."""
     with_sig = (
         sigs
         if sigs is not None
         else minhash_signatures_agg(df, id_col, text_col, k, n)
     )
     cands = (
-        minhash_lsh_candidates(df, id_col, text_col, k, bands, n, sigs=with_sig)
+        minhash_lsh_candidates(
+            df, id_col, text_col, k, bands, n, sigs=with_sig,
+            max_bucket=max_bucket, log_drops=log_drops,
+        )
         .select(F.explode(F.col("member_ids")).alias("id_a"), "member_ids")
         .select("id_a", F.explode("member_ids").alias("id_b"))
         .where(F.col("id_a") < F.col("id_b"))
@@ -514,10 +600,16 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket: int | None = 5000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by simhash banding: 64 bits -> 4 x 16-bit bands;
     pairs sharing any band are verified with an exact popcount of the
-    XOR. -> (id_a, id_b, hamming)."""
+    XOR. -> (id_a, id_b, hamming).
+
+    ``max_bucket`` caps the per-(band, band_key) membership before the
+    self-join (see :func:`cap_buckets` — a constant-text corpus
+    otherwise makes one bucket quadratic); None disables."""
     sh = simhash_table(df, id_col, text_col)
     banded = sh.select(
         "id",
@@ -531,6 +623,11 @@ def simhash_pairs(
             )
         ).alias("band", "band_key"),
     )
+    if max_bucket is not None:
+        banded = cap_buckets(
+            banded, ["band", "band_key"], max_bucket, "simhash_pairs",
+            log_drops,
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     cands = (

@@ -309,6 +309,8 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 5000,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates via MULTI-BAND sign-LSH:
     ``bands`` independent sets of ``n_planes`` hyperplanes (mirroring
@@ -321,7 +323,15 @@ def embedding_neardup_pairs(
     within-bucket self-join is quadratic in that. Multi-band keeps each
     band's bucket count while multiplying recall; the candidate set
     stays slim (id pairs only — vectors are joined back by id, never
-    carried through the explode)."""
+    carried through the explode). SIZE THE BUCKET SPACE TO THE CORPUS:
+    n_planes must grow ~log2(N) to keep per-bucket occupancy (and the
+    quadratic within-bucket join) constant — measured sf0.1 -> sf1 in
+    BENCH/BASELINE.md. ``max_bucket`` additionally hard-caps
+    per-(band, bucket) membership (dedup.cap_buckets — a corpus of
+    near-identical vectors otherwise makes one bucket quadratic
+    regardless of H); None disables, ``log_drops`` reports the drop."""
+    from . import dedup as _dedup
+
     planes = hyperplane_signs(bands * n_planes, dim, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     band_buckets = F.array(
@@ -333,6 +343,11 @@ def embedding_neardup_pairs(
     banded = base.select(
         "id", F.posexplode(band_buckets).alias("band", "bucket")
     )
+    if max_bucket is not None:
+        banded = _dedup.cap_buckets(
+            banded, ["band", "bucket"], max_bucket,
+            "embedding_neardup_pairs", log_drops,
+        )
     l, r = banded.alias("l"), banded.alias("r")
     cands = (
         l.join(
