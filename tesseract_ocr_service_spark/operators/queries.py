@@ -276,6 +276,24 @@ def image_features_fake(spark, sf_dir):
     )
 
 
+def audio_features_fake(spark, sf_dir):
+    """Multimodal audio plumbing: documents bytes as fake audio payloads
+    through the Arrow-batched audio feature stage; every projected field
+    is a pure function of the content sha256, so DuckDB replays it."""
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("asset_id"),
+        F.lit("audio").alias("kind"),
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(
+            "payload"
+        ),
+        F.lit("audio/wav").alias("mime"),
+    )
+    return M.extract_audio_features(media).select(
+        "asset_id", "duration_ms", "sample_rate", "n_channels", "n_bytes",
+        "sha256",
+    )
+
+
 # ----------------------------------------------------------- oracle sql
 
 #: normalized token list (matches textstats.normalized + tokens).
@@ -710,6 +728,32 @@ def _sql_image_features() -> str:
     """
 
 
+def _sql_audio_features() -> str:
+    """DuckDB replay of the deterministic fake audio decoder
+    (multimodal._fake_decode_audio_meta): duration/rate/channels are
+    hex-substring arithmetic over the same sha256 content digest."""
+    return """
+        WITH p AS (
+            SELECT CAST(doc_id AS VARCHAR) AS asset_id,
+                   sha256(coalesce(text, '')) AS sha,
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS n_bytes
+            FROM documents
+        )
+        SELECT asset_id,
+               CAST(500 + ('0x' || substr(sha, 5, 4))::BIGINT % 59500
+                    AS BIGINT) AS duration_ms,
+               CAST(CASE ('0x' || substr(sha, 9, 2))::INT % 5
+                    WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050
+                    WHEN 3 THEN 44100 ELSE 48000 END AS INT) AS sample_rate,
+               CAST(1 + ('0x' || substr(sha, 11, 2))::INT % 2 AS INT)
+                   AS n_channels,
+               n_bytes,
+               sha AS sha256
+        FROM p
+    """
+
+
 def _sql_ann_ivf(n_lists: int = 8, n_probe: int = 2) -> str:
     """DuckDB replay of the IVF search: rebuild the deterministic seed
     codebook (id % 7 sample, iterations=0), assign every vector to its
@@ -805,6 +849,7 @@ SPARK_QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
     "image_features": image_features_fake,
+    "audio_features": audio_features_fake,
 }
 
 ORACLES = {
@@ -825,6 +870,7 @@ ORACLES = {
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "image_features": _sql_image_features(),
+    "audio_features": _sql_audio_features(),
     "pdf_kernel_pages": P.sql_pdf_kernel_pages(),
     "pdf_page_slice": P.sql_pdf_page_slice(),
     "pdf_spans_flat": P.sql_pdf_spans_flat(),

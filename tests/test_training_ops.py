@@ -219,3 +219,35 @@ def test_multimodal_features_and_frames(spark):
 def test_real_decode_path_gated():
     with pytest.raises(NotImplementedError, match="codec unavailable"):
         M.decode_image(b"anything")
+
+
+def test_multimodal_audio_features(spark):
+    """Audio twin of the image stage: routing filters non-audio rows,
+    every field is a deterministic function of the content digest, and
+    the decode math matches the documented hex-substring replay."""
+    import hashlib
+
+    rows = [
+        ("x1", "audio", b"RIFFfake", "audio/wav"),
+        ("x2", "audio", b"RIFFother", "audio/wav"),
+        ("a1", "image", b"\x89PNGfakebytes1", "image/png"),
+    ]
+    media = spark.createDataFrame(rows, schema=M.MEDIA_SCHEMA)
+    feats = {r["asset_id"]: r for r in M.extract_audio_features(media).collect()}
+    assert set(feats) == {"x1", "x2"}
+    r = feats["x1"]
+    hx = hashlib.sha256(b"RIFFfake").hexdigest()
+    assert r["sha256"] == hx
+    assert r["duration_ms"] == 500 + int(hx[4:8], 16) % 59500
+    assert r["sample_rate"] == (8000, 16000, 22050, 44100, 48000)[
+        int(hx[8:10], 16) % 5
+    ]
+    assert r["n_channels"] == 1 + int(hx[10:12], 16) % 2
+    assert r["n_bytes"] == 8 and len(r["features"]) == 16
+    again = {r["asset_id"]: r for r in M.extract_audio_features(media).collect()}
+    assert feats["x2"]["features"] == again["x2"]["features"]
+
+
+def test_real_audio_decode_path_gated():
+    with pytest.raises(NotImplementedError, match="codec unavailable"):
+        M.decode_audio(b"anything")
