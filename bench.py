@@ -27,6 +27,12 @@ Components:
    reported for transparency but measures box saturation, not job
    scalability. Skip with SPARK_GRAFT_SCALING=0.
 
+4. sf1 scale evidence (bench_scale.py, key "sf1_dedup"): the dedup/
+   similarity stack at 1x (5k docs / 2k vecs, sf0.1-shape) vs 10x
+   (50k / 20k, sf1-shape) deterministic synthetic corpora, with
+   candidate-pair counts, cap-drop telemetry, and the LSH
+   plane-sizing sweep. Skip with SPARK_GRAFT_SF1=0.
+
    Decomposition evidence (round 2, recorded in BENCH/BASELINE.md):
    the kernel stage alone scales 4->16 at 0.885, matching this VM's
    pure-CPU multiprocessing ceiling of 0.888 measured with a
@@ -189,6 +195,16 @@ def main() -> None:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    # 2b. sf1 scale evidence: the dedup/similarity stack at 1x
+    # (sf0.1-shape) vs 10x (sf1-shape) synthetic corpora with
+    # candidate-pair + cap telemetry (bench_scale.py; skip with
+    # SPARK_GRAFT_SF1=0).
+    sf1 = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        import bench_scale
+
+        sf1 = bench_scale.sf1_section(spark)
     spark.stop()
 
     # 3. scaling evidence in fresh subprocesses. The 4/16 pair runs
@@ -231,6 +247,7 @@ def main() -> None:
                 "bench_docs": BENCH_DOCS,
                 "docs_per_sec": round(BENCH_DOCS / wall, 1),
                 "scaling": scaling,
+                "sf1_dedup": sf1,
             }
         )
     )

@@ -51,44 +51,75 @@ FIRST_SEEN_SCHEMA = StructType(
 _STATE_SCHEMA = StructType([StructField("seen", IntegerType(), False)])
 
 
-def _first_seen_fn(
-    key: Tuple[Any, ...],
-    batches: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    seen = state.get[0] if state.exists else 0
-    first_row = None
-    n_new = 0
-    for pdf in batches:
-        if seen == 0 and first_row is None and len(pdf):
-            first_row = pdf.iloc[0]
-        n_new += len(pdf)
-    state.update((seen + n_new,))
-    if seen == 0 and first_row is not None:
-        # duplicates observed in the SAME burst are counted right here;
-        # later-epoch repeats only bump the state counter.
-        yield pd.DataFrame(
-            {
-                "url": [key[0]],
-                "warc_ts": [first_row["warc_ts"]],
-                "n_dupes_dropped": [n_new - 1],
-            }
-        )
+def _make_first_seen_fn(ttl_ms: int | None):
+    """State function factory; ``ttl_ms`` closes over the handler so
+    applyInPandasWithState can serialize it to the workers."""
+
+    def _first_seen_fn(
+        key: Tuple[Any, ...],
+        batches: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            # idle past the TTL: evict. The key re-admits (re-emits) if
+            # it ever reappears — that's the documented recall trade.
+            state.remove()
+            return
+        seen = state.get[0] if state.exists else 0
+        first_row = None
+        n_new = 0
+        for pdf in batches:
+            if seen == 0 and first_row is None and len(pdf):
+                first_row = pdf.iloc[0]
+            n_new += len(pdf)
+        state.update((seen + n_new,))
+        if ttl_ms is not None:
+            # sliding idle-TTL: any new occurrence re-arms the clock
+            state.setTimeoutDuration(ttl_ms)
+        if seen == 0 and first_row is not None:
+            # duplicates observed in the SAME burst are counted right
+            # here; later-epoch repeats only bump the state counter.
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "warc_ts": [first_row["warc_ts"]],
+                    "n_dupes_dropped": [n_new - 1],
+                }
+            )
+
+    return _first_seen_fn
 
 
-def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
+def streaming_first_seen(
+    pages_stream: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """First occurrence per url across the stream's lifetime (state
     survives epochs via the checkpoint). -> (url, warc_ts,
-    n_dupes_dropped-within-first-burst)."""
+    n_dupes_dropped-within-first-burst).
+
+    ``ttl_ms`` bounds the state store: without it the "seen" set grows
+    without bound over the stream's lifetime (at 10^12 urls that is the
+    whole crawl frontier held in state). With a TTL, a key idle for
+    longer than ``ttl_ms`` of processing time is EVICTED
+    (ProcessingTimeTimeout; timeouts fire on the next trigger after
+    expiry, so an idle stream evicts lazily). RECALL TRADE, explicit:
+    an evicted url that reappears later is re-emitted as if new —
+    choose ttl >= the maximum plausible recrawl gap, or leave None and
+    bound state some other way (e.g. periodic batch compaction of the
+    output into a bloom/exact side table)."""
     return (
         pages_stream.select("url", "warc_ts")
         .groupBy("url")
         .applyInPandasWithState(
-            _first_seen_fn,
+            _make_first_seen_fn(ttl_ms),
             outputStructType=FIRST_SEEN_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if ttl_ms is not None
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

@@ -112,6 +112,130 @@ def test_streaming_first_seen_dedups_across_epochs(spark, tmp_path):
 
 
 @pytest.mark.slow
+def test_streaming_first_seen_ttl_evicts_and_readmits(spark, tmp_path):
+    """With a state TTL, a url idle past the TTL is evicted and
+    RE-EMITTED if it reappears — the documented recall trade that
+    bounds the state store at 10^12 urls."""
+    import time
+
+    from tesseract_ocr_service_spark.streaming import ingest, stateful
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(lo, hi, seed=11):
+        df = (
+            gen.generate_pages(spark, hi, seed=seed, partitions=1)
+            .where(F.col("url").isin(
+                [gen.doc(i, seed)["url"] for i in range(lo, hi)]
+            ))
+        )
+        df.withColumn("warc_day", F.to_date("warc_ts")).write.mode(
+            "append"
+        ).partitionBy("warc_day").parquet(landing)
+
+    def drain():
+        q = (
+            stateful.streaming_first_seen(
+                ingest.stream_pages(spark, landing), ttl_ms=1000
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    land(0, 5)  # urls 0-4
+    drain()
+    assert spark.read.parquet(out).count() == 5
+
+    time.sleep(2.5)  # idle past the 1s TTL
+    land(5, 6)  # one unrelated url — its trigger fires the timeouts
+    drain()
+    assert spark.read.parquet(out).count() == 6
+
+    land(0, 2)  # urls 0-1 REAPPEAR after eviction
+    drain()
+    got = spark.read.parquet(out)
+    # re-admitted: 8 rows total, urls 0 and 1 emitted twice
+    assert got.count() == 8
+    twice = (
+        got.groupBy("url").count().where(F.col("count") == 2).count()
+    )
+    assert twice == 2
+
+
+@pytest.mark.slow
+def test_windowed_lang_counts_stream_equals_batch_replay(spark, tmp_path):
+    """Batch-equivalence harness (VERDICT r2 #6): replay the stream in
+    TWO waves and assert the union of emitted windows equals a batch
+    groupBy over exactly the rows the watermark finalized. Converts the
+    windowed-agg oracle exemption into a checked op."""
+    from tesseract_ocr_service_spark.streaming import ingest, stateful
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            stateful.windowed_lang_counts(
+                ingest.stream_pages(spark, landing), late="0 seconds"
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    # split the corpus on a MIDNIGHT-ALIGNED event-time cutoff: streams
+    # arrive roughly event-time ordered; rows later than wave-1's
+    # watermark in wave 2 would be dropped as late (correctly), which
+    # would make full-batch equality unprovable.
+    corpus = gen.generate_pages(spark, 200, seed=17, partitions=2)
+    cutoff = "2026-01-16"
+    for wave in (
+        corpus.where(F.to_date("warc_ts") < F.lit(cutoff)),
+        corpus.where(F.to_date("warc_ts") >= F.lit(cutoff)),
+    ):
+        wave.withColumn("warc_day", F.to_date("warc_ts")).write.mode(
+            "append"
+        ).partitionBy("warc_day").parquet(landing)
+        drain()
+    assert spark.read.parquet(out).count() > 0
+
+    emitted = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(landing)
+        .groupBy(F.date_trunc("day", "warc_ts").alias("day_start"), "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    exp = {
+        (str(r["day_start"]), r["lang"]): r["n"] for r in batch.collect()
+    }
+    got = {
+        (str(r["day_start"]), r["lang"]): r["n_pages"]
+        for r in emitted.collect()
+    }
+    # append mode emits each finalized window EXACTLY once across both
+    # waves (no duplicate keys), and every emitted count matches the
+    # batch rollup of the full landing dir. With a 0s watermark every
+    # window except the stream-max day's is finalized by the final
+    # drain — at most one day (x up to 5 langs) stays pending.
+    assert len(got) == emitted.count()  # no window emitted twice
+    for k, v in got.items():
+        assert exp.get(k) == v, (k, v, exp.get(k))
+    assert len(got) >= len(exp) - 5  # at most the tail-day windows pend
+
+
+@pytest.mark.slow
 def test_windowed_lang_counts_with_watermark(spark, tmp_path):
     """Watermarked windowed aggregation totals match the batch rollup
     for on-time data once the stream drains."""
