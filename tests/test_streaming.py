@@ -135,7 +135,12 @@ def test_streaming_first_seen_ttl_evicts_and_readmits(spark, tmp_path):
             "append"
         ).partitionBy("warc_day").parquet(landing)
 
-    def drain():
+    def drain(expect: int):
+        """A query with ProcessingTimeTimeout keeps scheduling batches
+        to honor pending state timeouts, so availableNow never
+        self-terminates — poll the sink for the expected row count and
+        stop explicitly (timeouts for already-expired keys fire within
+        the first couple of batches)."""
         q = (
             stateful.streaming_first_seen(
                 ingest.stream_pages(spark, landing), ttl_ms=1000
@@ -147,19 +152,32 @@ def test_streaming_first_seen_ttl_evicts_and_readmits(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            q.awaitTermination(2)
+            if not q.isActive:
+                break
+            try:
+                if spark.read.parquet(out).count() >= expect:
+                    # give the in-flight batch a beat, then cut it off
+                    q.awaitTermination(3)
+                    break
+            except Exception:
+                pass  # sink not created yet
+        q.stop()
+        q.awaitTermination(60)
 
     land(0, 5)  # urls 0-4
-    drain()
+    drain(expect=5)
     assert spark.read.parquet(out).count() == 5
 
     time.sleep(2.5)  # idle past the 1s TTL
     land(5, 6)  # one unrelated url — its trigger fires the timeouts
-    drain()
+    drain(expect=6)
     assert spark.read.parquet(out).count() == 6
 
     land(0, 2)  # urls 0-1 REAPPEAR after eviction
-    drain()
+    drain(expect=8)
     got = spark.read.parquet(out)
     # re-admitted: 8 rows total, urls 0 and 1 emitted twice
     assert got.count() == 8
