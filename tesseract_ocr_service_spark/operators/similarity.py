@@ -149,9 +149,13 @@ def ivf_centroids(
     first-rows-by-id fallback below, which is still deterministic for
     ANY id type (ordering on the original column).
 
-    Note the Lloyd step materializes one avg() aggregate per dimension
-    and collects per-list means per iteration — fine at dim<=64; at
-    dim ~1024 prefer iterations=0 or an array-aggregate re-center.
+    The Lloyd re-center runs as posexplode -> groupBy(list_id, pos)
+    avg: hash aggregation with map-side partial combine, so the
+    shuffle carries at most n_lists * dim * n_partitions partial rows
+    regardless of corpus size, and the aggregate expression count does
+    not grow with the dimension (the previous one-avg()-per-dimension
+    unroll built 1024 aggregate exprs at dim=1024). The driver still
+    only ever holds n_lists * dim floats per iteration.
     """
     seeds = (
         df.select(id_col, vec_col)
@@ -174,16 +178,19 @@ def ivf_centroids(
         )
         dim = len(cents[0])
         means = (
-            assigned.groupBy("list_id")
-            .agg(
-                *[
-                    F.avg(F.element_at(F.col("v").cast("array<double>"), i + 1)).alias(f"c{i}")
-                    for i in range(dim)
-                ]
+            assigned.select(
+                "list_id",
+                F.posexplode(F.col("v").cast("array<double>")).alias(
+                    "pos", "x"
+                ),
             )
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("c"))
             .collect()
         )
-        by_list = {r["list_id"]: [r[f"c{i}"] for i in range(dim)] for r in means}
+        by_list: dict[int, list] = {}
+        for r in means:
+            by_list.setdefault(r["list_id"], [0.0] * dim)[r["pos"]] = r["c"]
         cents = [by_list.get(j, cents[j]) for j in range(len(cents))]
     return cents
 
