@@ -738,6 +738,123 @@ def connected_components(
     return labels.select("id", F.col("label").alias("component_id"))
 
 
+def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """(big, small) orientation, self-loops dropped, distinct."""
+    return (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor LARGER than u to min(Γ⁺(u)). Input/output
+    edges canonical (a > b)."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    # m = min(Γ⁺(u)) = least(u, min over neighbors)
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("a"),
+            F.least(F.col("u"), F.col("mv")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor ≤ u (and u itself) to the minimum of u's
+    SMALL neighborhood. Canonical in, canonical out."""
+    # e is already oriented big → small: neighbors of u are {b : (u,b)}
+    mins = e.groupBy("a").agg(F.min("b").alias("m"))
+    rewired = (
+        e.join(mins, "a")
+        .where(F.col("b") != F.col("m"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+    )
+    centers = mins.select(F.col("a"), F.col("m").alias("b"))
+    return rewired.union(centers).distinct()
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", the Two-Phase algorithm): each round rewires every node
+    toward its neighborhood minimum, halving component depth — O(log n)
+    rounds for ANY graph, vs diameter rounds for min-label propagation
+    (:func:`connected_components`). Use this variant when duplicate
+    chains can be long (transitive near-dup chains through shared
+    templates); the label-propagation variant stays the default for
+    shallow dedup graphs (fewer shuffles per round).
+    -> (id, component_id), component_id = min vertex id of the
+    component; singleton vertices label themselves.
+
+    Scale shape per round: two groupBy-mins + two equi-joins on vertex
+    ids (AQE-skew-splittable), lineage truncated per round via reliable
+    ``.checkpoint()`` when a checkpoint dir is configured (same rule as
+    the label variant). Convergence = edge multiset stable across a
+    full large+small cycle, checked with one count + order-insensitive
+    xxhash64 checksum aggregate (no driver-side edge collection).
+    """
+    e = _truncate_lineage(_canonical_edges(edges, src_col, dst_col))
+
+    def _sig(df: DataFrame) -> tuple[int, int]:
+        # count + order-insensitive XOR of row hashes (bit_xor cannot
+        # overflow; a BIGINT sum would under ANSI mode). Rows are
+        # distinct, so xor-cancellation needs a hash collision AND an
+        # equal count — negligible.
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return int(r["n"] or 0), int(r["h"] or 0)
+
+    sig = _sig(e)
+    converged = False
+    for _ in range(max_iter):
+        e = _truncate_lineage(_small_star(_large_star(e)))
+        new_sig = _sig(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged and sig[0] > 0:
+        msg = (
+            f"connected_components_star: NOT converged after {max_iter} "
+            "large+small rounds — components are partial; raise max_iter"
+        )
+        if on_nonconverged == "warn":
+            log.warning(msg)
+        else:
+            raise RuntimeError(msg)
+    # converged edge set = stars (child, center=component min)
+    labels = e.select(F.col("a").alias("id"), F.col("b").alias("label"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", "id").alias("component_id"),
+        )
+    )
+
+
 def neardup_components(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -745,6 +862,7 @@ def neardup_components(
     threshold: float = 0.7,
     minhash_k: int = 16,
     bands: int = 4,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS (not just pairs): connected components
     over the minhash-LSH-verified pair graph. -> (doc_id, component_id).
@@ -753,11 +871,21 @@ def neardup_components(
     At corpus scale run dedup_exact first so identical docs don't all
     land in every band bucket; here the full graph keeps the oracle
     (a recursive-CTE transitive closure) exact over the same input.
+
+    ``algorithm``: 'label' (min-label propagation — default, fewest
+    shuffles/round on the shallow graphs dedup produces) or 'star'
+    (:func:`connected_components_star` — O(log n) rounds regardless of
+    chain length).
     """
     pairs = minhash_dedup_pairs(
         df, id_col, text_col, k=minhash_k, bands=bands, threshold=threshold
     )
-    return connected_components(
+    cc = (
+        connected_components_star
+        if algorithm == "star"
+        else connected_components
+    )
+    return cc(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         df.select(F.col(id_col).alias("id")),
     ).select(F.col("id").alias("doc_id"), "component_id")

@@ -171,6 +171,67 @@ def test_connected_components_nonconvergence_raises(spark):
     assert out.count() == n
 
 
+def test_star_contraction_matches_label_propagation(spark):
+    """Large-star/small-star contraction (Kiveris et al.) agrees with
+    min-label propagation on hand and pseudo-random graphs."""
+    import random
+
+    from tesseract_ocr_service_spark.operators import dedup as D
+
+    # hand graph (same as the label test)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (5, 6), (9, 8)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 10)], ["id"])
+    out = {
+        r["id"]: r["component_id"]
+        for r in D.connected_components_star(edges, verts).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8, 9: 8}
+
+    # pseudo-random graphs: star == label (label given ample rounds)
+    for seed in (0, 1):
+        r = random.Random(seed)
+        n = 60
+        es = [
+            (r.randrange(n), r.randrange(n)) for _ in range(45)
+        ]
+        es = [(a, b) for a, b in es if a != b]
+        edges = spark.createDataFrame(es, ["src", "dst"])
+        verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+        star = {
+            r2["id"]: r2["component_id"]
+            for r2 in D.connected_components_star(edges, verts).collect()
+        }
+        label = {
+            r2["id"]: r2["component_id"]
+            for r2 in D.connected_components(
+                edges, verts, max_iter=100
+            ).collect()
+        }
+        assert star == label
+
+
+def test_star_contraction_converges_on_long_chains(spark):
+    """The documented O(log n) advantage: a 60-node chain (diameter 59)
+    exceeds label propagation's default 25 rounds but star contraction
+    converges in ~log2(60) large+small cycles."""
+    import pytest as _pytest
+
+    from tesseract_ocr_service_spark.operators import dedup as D
+
+    n = 60
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    verts = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    with _pytest.raises(RuntimeError, match="NOT converged"):
+        D.connected_components(edges, verts)  # default max_iter=25
+    out = D.connected_components_star(edges, verts, max_iter=12)
+    comps = {r["component_id"] for r in out.collect()}
+    assert comps == {0}
+
+
 def test_job_banner_fields(spark):
     """The GET /health analog (reference ocr/main.py:63-101): engine +
     Spark versions, master, effective conf, and every config knob."""
