@@ -307,10 +307,23 @@ def ann_topk_ivf(
     )
 
 
+def auto_n_planes(n_vectors: int, target_occupancy: float = 8.0) -> int:
+    """Plane count sizing the per-band bucket space to the corpus:
+    n_planes = ceil(log2(N / target_occupancy)), min 8. Measured in
+    BENCH/BASELINE.md ("Scale evidence"): at 10x vectors a fixed
+    n_planes=8 grew candidates 10x per vector (quadratic), while
+    +log2(10) planes held occupancy near-flat at identical recall."""
+    import math
+
+    if n_vectors <= 0:
+        return 8
+    return max(8, math.ceil(math.log2(max(2.0, n_vectors / target_occupancy))))
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int | str = 8,
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
@@ -336,9 +349,13 @@ def embedding_neardup_pairs(
     BENCH/BASELINE.md. ``max_bucket`` additionally hard-caps
     per-(band, bucket) membership (dedup.cap_buckets — a corpus of
     near-identical vectors otherwise makes one bucket quadratic
-    regardless of H); None disables, ``log_drops`` reports the drop."""
+    regardless of H); None disables, ``log_drops`` reports the drop.
+    ``n_planes='auto'`` sizes the bucket space from one corpus count
+    via :func:`auto_n_planes` (costs a driver count() action)."""
     from . import dedup as _dedup
 
+    if n_planes == "auto":
+        n_planes = auto_n_planes(df.count())
     planes = hyperplane_signs(bands * n_planes, dim, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     band_buckets = F.array(

@@ -251,3 +251,56 @@ def test_multimodal_audio_features(spark):
 def test_real_audio_decode_path_gated():
     with pytest.raises(NotImplementedError, match="codec unavailable"):
         M.decode_audio(b"anything")
+
+
+def test_auto_n_planes_sizing(spark):
+    """n_planes='auto' sizes the bucket space ~log2(N): the sizing rule
+    measured in BENCH/BASELINE.md 'Scale evidence'."""
+    from tesseract_ocr_service_spark.operators import similarity as S
+
+    assert S.auto_n_planes(2_000) == 8
+    assert S.auto_n_planes(20_000) == 12  # ceil(8 + log2(10))
+    assert S.auto_n_planes(0) == 8
+    # 'auto' produces the same pairs as the explicit equivalent count
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = embs.count()
+    auto = S.embedding_neardup_pairs(embs, threshold=0.98, n_planes="auto")
+    manual = S.embedding_neardup_pairs(
+        embs, threshold=0.98, n_planes=S.auto_n_planes(n)
+    )
+    a = sorted(map(tuple, auto.collect()))
+    m = sorted(map(tuple, manual.collect()))
+    assert a == m
+
+
+def test_scaled_corpus_generator_is_partitioning_independent(spark, tmp_path):
+    """sources/scale.py rows are pure functions of (seed, id): the same
+    corpus generated at different parallelism must be IDENTICAL — the
+    scale-evidence bench depends on this."""
+    from tesseract_ocr_service_spark.sources import scale
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    scale.write_documents(spark, a, 400, seed=5, partitions=3)
+    scale.write_documents(spark, b, 400, seed=5, partitions=11)
+    da = spark.read.parquet(a).orderBy("doc_id").collect()
+    db = spark.read.parquet(b).orderBy("doc_id").collect()
+    assert da == db
+    va = str(tmp_path / "va")
+    vb = str(tmp_path / "vb")
+    scale.write_embeddings(spark, va, 150, seed=5, partitions=2)
+    scale.write_embeddings(spark, vb, 150, seed=5, partitions=7)
+    ea = spark.read.parquet(va).orderBy("vec_id").collect()
+    eb = spark.read.parquet(vb).orderBy("vec_id").collect()
+    assert ea == eb
+    # planted structure exists: at least one exact-dup text pair
+    from pyspark.sql import functions as F
+
+    dups = (
+        spark.read.parquet(a)
+        .groupBy("text")
+        .count()
+        .where(F.col("count") >= 2)
+        .count()
+    )
+    assert dups >= 1
