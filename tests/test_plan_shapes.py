@@ -61,6 +61,34 @@ def test_no_python_row_udfs_anywhere(spark, pages_path):
         assert "BatchEvalPython" not in _plan(df)
 
 
+def test_ivf_index_read_is_partition_pruned(spark, tmp_path):
+    """ann_topk_ivf_indexed must read ONLY the probed list partitions:
+    the list_id predicate shows up as a PartitionFilter on the index
+    scan (physical pruning — the property that makes IVF an index)."""
+    from tesseract_ocr_service_spark.operators import similarity as S
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_centroids(embs, n_lists=4, iterations=0)
+    idx = str(tmp_path / "ivf")
+    S.build_ivf_index(embs, cents, idx)
+    q = [float(x) for x in embs.orderBy("vec_id").first()["embedding"]]
+    df = S.ann_topk_ivf_indexed(spark, idx, q, cents, k=5, n_probe=2)
+    plan = _plan(df)
+    scan = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scan and "list_id" in scan[0], plan
+
+
+def test_quota_sample_and_splits_have_no_global_window(spark):
+    """domain_quota_sample's window is PARTITIONED by the quota key and
+    train/val/test splits are shuffle-free column expressions."""
+    sf = "/root/testdata/sf0.001"
+    plan = _plan(R.domain_quota_sample(spark, sf, k=20))
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan
+    plan2 = _plan(R.train_val_test_split(spark, sf))
+    assert "Exchange" not in plan2, plan2
+
+
 def test_top_tokens_has_no_global_window(spark):
     """top_tokens must rank via an ordered limit (per-partition top-k
     merged on the driver), NEVER an unpartitioned WindowExec that drags
