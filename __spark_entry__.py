@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: shared SQL fragment: tokenized documents with a per-doc dense token
 #: index rn (1-based, empties dropped) — the word-table analog.
-_TOKS = """
+_TOKS = r"""
 toks AS (
     SELECT doc_id, tok,
            row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
@@ -170,7 +170,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders GROUP BY o_custkey
         """,
-        "nonempty_word_counts": """
+        "nonempty_word_counts": r"""
             SELECT doc_id,
                    len(list_filter(string_split_regex(text, '\s+'),
                                    x -> x <> '')) AS n_words
@@ -214,7 +214,7 @@ def oracle_sql() -> dict[str, str]:
                        AS payload_json
             FROM documents
         """,
-        "top_tokens": """
+        "top_tokens": r"""
             WITH toks AS (
                 SELECT unnest(string_split_regex(text, '\s+')) AS tok FROM documents
             ),
@@ -229,7 +229,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM counts
             ) WHERE rank <= 20
         """,
-        "lang_token_stats": """
+        "lang_token_stats": r"""
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
                                             x -> x <> ''))) AS BIGINT)

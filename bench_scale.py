@@ -176,7 +176,10 @@ def sf1_section(spark) -> dict:
         }
 
         # --- embedding near-dup LSH: default planes; at 10x ALSO the
-        # log2(N)-sized index (n_planes 8 -> 11 for 10x vectors)
+        # log2(N)-sized index (n_planes 8 -> 11 for 10x vectors;
+        # similarity.auto_n_planes would pick 12 — the sweep uses 11 to
+        # isolate exactly +log2(scale_factor))
+        sec["auto_n_planes"] = S.auto_n_planes(int(n * VEC_FRAC))
         for planes in (8,) if tag == "1x" else (8, 11):
             base = embs.select(
                 F.col("vec_id").alias("id"), F.col("embedding").alias("v")
