@@ -252,6 +252,49 @@ def sf1_section(spark) -> dict:
         )
         sigs.unpersist()
         w, kept = _timed(lambda: D.dedup_corpus(docs), max_attempts=2)
+        # telemetry-only aggregates (no joins): the shingle-df cap
+        # sweep at the third decade — as head shingles cross a fixed
+        # cap they drop out, bending exact-jaccard candidate growth
+        # from quadratic toward ~N*cap — and the simhash band-collision
+        # count, whose ~N^2/2^16 growth is the documented fixed-width
+        # limit.
+        sh = D.shingle_rows(docs, "doc_id", "text", 3, distinct=True)
+        row = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("m"))
+            .agg(
+                F.max("m").alias("max_df"),
+                *[
+                    F.sum(
+                        F.when(
+                            F.col("m") <= cap,
+                            F.col("m") * (F.col("m") - 1) / 2,
+                        ).otherwise(0)
+                    ).alias(f"cand_pairs_cap{cap}")
+                    for cap in (50, 100, 1000)
+                ],
+            )
+            .collect()[0]
+        )
+        ngram_tel = {k: int(row[k]) for k in row.asDict()}
+        simhash_cand = _pair_sum(
+            D.simhash_table(docs)
+            .select(
+                F.posexplode(
+                    F.array(
+                        *[
+                            F.shiftrightunsigned("sh", 16 * b).bitwiseAND(
+                                F.lit(0xFFFF)
+                            )
+                            for b in range(4)
+                        ]
+                    )
+                ).alias("band", "band_key")
+            )
+            .groupBy("band", "band_key")
+            .agg(F.count("*").alias("m")),
+            "m",
+        )
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         out["100x"] = {
             "n_docs": n,
@@ -263,6 +306,8 @@ def sf1_section(spark) -> dict:
                 "verified_pairs": nv,
             },
             "dedup_corpus": {"wall": w, "kept": kept, "dropped": n - kept},
+            "ngram_shingle_df": ngram_tel,
+            "simhash_cand_pairs": simhash_cand,
         }
 
     # wall + output ratios 10x/1x
