@@ -221,6 +221,16 @@ def neardup_components(spark, sf_dir):
     return D.neardup_components(_docs(spark, sf_dir), threshold=0.7)
 
 
+def neardup_components_star(spark, sf_dir):
+    """Same clusters via alternating large-star/small-star contraction
+    (Kiveris et al. — O(log n) rounds vs diameter); the SAME
+    recursive-CTE closure oracle verifies both algorithms converge to
+    identical components."""
+    return D.neardup_components(
+        _docs(spark, sf_dir), threshold=0.7, algorithm="star"
+    )
+
+
 IVF_LISTS = 8
 IVF_PROBE = 2
 
@@ -845,6 +855,7 @@ SPARK_QUERIES = {
     "pdf_spans_flat": P.pdf_spans_flat,
     "dedup_corpus_kept": dedup_corpus_kept,
     "neardup_components": neardup_components,
+    "neardup_components_star": neardup_components_star,
     "embedding_neardups": embedding_neardups,
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
@@ -866,6 +877,7 @@ ORACLES = {
     "ann_lsh_topk": _sql_ann_lsh(),
     "dedup_corpus_kept": _sql_dedup_corpus_kept(),
     "neardup_components": _sql_neardup_components(),
+    "neardup_components_star": _sql_neardup_components(),
     "embedding_neardups": _sql_embedding_neardups(),
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
