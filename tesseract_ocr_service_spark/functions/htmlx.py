@@ -56,6 +56,8 @@ _ENTITIES = [
 
 
 def unescape(text: str) -> str:
+    if "&" not in text:  # one scan instead of six for the common case
+        return text
     for ent, ch in _ENTITIES:
         if ent in text:
             text = text.replace(ent, ch)
@@ -129,13 +131,34 @@ def extract_word_records(
     return records, kept, dropped, page_h
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2048)
+def _flow_template(
+    ntok: int, wrap: int
+) -> tuple[list, list, list, list, int]:
+    """Flow-layout columns that depend ONLY on (ntok, wrap): block-
+    relative line numbers, word slots, x offsets, block-relative y
+    offsets, and the line count. Block sizes repeat heavily across a
+    corpus, so caching these avoids recomputing the same integer
+    sequences per block (identical values — byte-identity preserved)."""
+    pos = [i % wrap for i in range(ntok)]
+    line_rel = [i // wrap + 1 for i in range(ntok)]
+    word = [p + 1 for p in pos]
+    left = [p * COL_W for p in pos]
+    top_rel = [(l - 1) * LINE_H for l in line_rel]
+    return line_rel, word, left, top_rel, (ntok + wrap - 1) // wrap
+
+
 def extract_words_columnar(
     html: str, cfg: ExtractConfig
 ) -> tuple[tuple[list, ...], int, int, int]:
     """Columnar variant: -> ((block, par, line, word, text, left, top,
     width, height, conf) column lists, kept, dropped, page_height).
     Per-column list building beats per-word tuple rows by ~2x in the
-    kernel's record-table construction."""
+    kernel's record-table construction; geometry columns come from the
+    per-(ntok, wrap) template cache above."""
     blk_c: list = []
     par_c: list = []
     line_c: list = []
@@ -159,17 +182,20 @@ def extract_words_columnar(
             continue
         kept += 1
         ntok = len(tokens)
-        n_lines = (ntok + wrap - 1) // wrap
-        pos = [i % wrap for i in range(ntok)]
+        if ntok <= 4096:
+            line_rel, word, left, top_rel, n_lines = _flow_template(ntok, wrap)
+        else:  # pathological block: compute directly, don't cache
+            line_rel, word, left, top_rel, n_lines = _flow_template.__wrapped__(
+                ntok, wrap
+            )
         blk_c.extend([kept] * ntok)
         par_c.extend([1] * ntok)
-        line_c.extend(i // wrap + 1 for i in range(ntok))
-        word_c.extend(p + 1 for p in pos)
+        line_c.extend(line_rel)
+        word_c.extend(word)
         text_c.extend(tokens)
-        left_c.extend(p * COL_W for p in pos)
-        top_c.extend(
-            (global_line + i // wrap) * LINE_H for i in range(ntok)
-        )
+        left_c.extend(left)
+        base_top = global_line * LINE_H
+        top_c.extend(t + base_top for t in top_rel)
         wid_c.extend(len(t) * CHAR_W for t in tokens)
         hgt_c.extend([WORD_H] * ntok)
         conf_c.extend([conf] * ntok)
