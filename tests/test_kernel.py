@@ -340,3 +340,34 @@ def test_per_row_null_falls_back_to_job_config():
     )
     out = kernel.extract_batch(batch, ExtractConfig(page_end=2))
     assert [p["page_number"] for p in out.loc[0, "pages"]] == [1, 2]
+
+
+def test_flow_template_fallback_matches_cached_path():
+    """Blocks over the 4096-token cache threshold take the uncached
+    branch; geometry must be identical to the cached formula."""
+    from tesseract_ocr_service_spark.config import ExtractConfig
+    from tesseract_ocr_service_spark.functions import htmlx
+
+    n = 5000
+    html = "<html><body><p>" + " ".join(
+        f"w{i}" for i in range(n)
+    ) + "</p></body></html>"
+    cfg = ExtractConfig()
+    cols, kept, dropped, page_h = htmlx.extract_words_columnar(html, cfg)
+    blk, par, line, word, text, left, top, wid, hgt, conf = cols
+    assert kept == 1 and dropped == 0 and len(text) == n
+    wrap = cfg.line_wrap_words
+    n_lines = (n + wrap - 1) // wrap
+    assert line[-1] == n_lines
+    assert word[:wrap] == list(range(1, wrap + 1))
+    assert left[wrap] == 0 and top[wrap] == htmlx.LINE_H
+    assert top[-1] == (n_lines - 1) * htmlx.LINE_H
+    assert page_h == n_lines * htmlx.LINE_H
+    # same values as the cached small-block path, block by block
+    small = "<html><body>" + "".join(
+        "<p>" + " ".join(f"w{i}" for i in range(13)) + "</p>"
+        for _ in range(2)
+    ) + "</body></html>"
+    cols2, k2, _, _ = htmlx.extract_words_columnar(small, cfg)
+    assert k2 == 2
+    assert cols2[2][:13] == [1] * 12 + [2]  # line wraps at 12
