@@ -163,6 +163,85 @@ def _sql_tfidf() -> str:
     """
 
 
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document: distinct-
+    word fraction and top-bigram fraction — the classic pretraining
+    filters for degenerate/repetitive text (boilerplate loops, keyword
+    stuffing). NULL/empty docs score 0.0 on both (same rule both
+    engines).
+
+    Scale shape: word stats are per-row array expressions (no shuffle);
+    bigram stats reuse the codegen'd shingle_rows(n=2) shape — one
+    explode + two hash aggregates, map-side combined.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = T.tokens(T.normalized(F.coalesce(F.col("text"), F.lit(""))))
+    w = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("_nd"),
+    )
+    bi = D.shingle_rows(docs, "doc_id", "text", n=2, distinct=False)
+    bt = (
+        bi.groupBy("id", "shingle")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_top"), F.sum("c").alias("_nbi"))
+        .withColumnRenamed("id", "doc_id")
+    )
+    return (
+        w.join(bt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.col("_nd") / F.col("n_words"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("distinct_word_frac"),
+            F.when(
+                F.col("n_words") >= 2,
+                F.round(F.col("_top") / F.col("_nbi"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+def _sql_repetition() -> str:
+    return f"""
+        WITH norm AS (SELECT doc_id, {{toks}} AS toks FROM documents),
+        w AS (
+            SELECT doc_id, len(toks) AS n_words,
+                   len(list_distinct(toks)) AS nd
+            FROM norm
+        ),
+        big AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1]
+                   )) AS bg
+            FROM norm WHERE len(toks) >= 2
+        ),
+        bc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+        bt AS (
+            SELECT doc_id, max(c) AS top, sum(c) AS nbi FROM bc GROUP BY 1
+        )
+        SELECT w.doc_id,
+               w.n_words,
+               CASE WHEN w.n_words > 0
+                    THEN round(w.nd / CAST(w.n_words AS DOUBLE), 4)
+                    ELSE 0.0 END AS distinct_word_frac,
+               CASE WHEN w.n_words >= 2
+                    THEN round(bt.top / CAST(bt.nbi AS DOUBLE), 4)
+                    ELSE 0.0 END AS top_bigram_frac
+        FROM w LEFT JOIN bt USING (doc_id)
+    """.replace("{toks}", _TOKS_NORM)
+
+
 def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=ANN_K)
 
@@ -856,6 +935,7 @@ SPARK_QUERIES = {
     "dedup_corpus_kept": dedup_corpus_kept,
     "neardup_components": neardup_components,
     "neardup_components_star": neardup_components_star,
+    "repetition_stats": repetition_stats,
     "embedding_neardups": embedding_neardups,
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
@@ -878,6 +958,7 @@ ORACLES = {
     "dedup_corpus_kept": _sql_dedup_corpus_kept(),
     "neardup_components": _sql_neardup_components(),
     "neardup_components_star": _sql_neardup_components(),
+    "repetition_stats": _sql_repetition(),
     "embedding_neardups": _sql_embedding_neardups(),
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
