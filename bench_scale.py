@@ -127,12 +127,30 @@ def sf1_section(spark) -> dict:
         w, _ = _timed(lambda: D.minhash_signatures_agg(docs))
         cand = _pair_sum(D.minhash_lsh_candidates(docs), "n_docs")
         wv, nv = _timed(lambda: D.minhash_dedup_pairs(docs, threshold=0.7))
+        # CANDIDATE RECALL vs exact ground truth: linear candidate
+        # growth means nothing if the bands silently lose true pairs
+        # as N grows. Truth = exact 3-gram jaccard >= 0.7 (uncapped);
+        # recall = fraction of true pairs sharing >= one band bucket.
+        truth = D.ngram_jaccard_pairs(
+            docs, threshold=0.7, hot_shingle_cap=10**9
+        ).select("id_a", "id_b")
+        cand_pairs_df = (
+            D.minhash_lsh_candidates(docs)
+            .select(F.explode("member_ids").alias("id_a"), "member_ids")
+            .select("id_a", F.explode("member_ids").alias("id_b"))
+            .where(F.col("id_a") < F.col("id_b"))
+            .distinct()
+        )
+        n_true = truth.count()
+        n_hit = truth.join(cand_pairs_df, ["id_a", "id_b"]).count()
         sec["minhash_lsh"] = {
             "wall_sigs": w,
             "cand_pairs": cand,
             "cand_pairs_per_doc": round(cand / n, 4),
             "wall_verify": wv,
             "verified_pairs": nv,
+            "true_pairs_j07": n_true,
+            "candidate_recall": round(n_hit / n_true, 4) if n_true else None,
         }
 
         # --- composed dedup + components
