@@ -202,9 +202,14 @@ def main() -> None:
     # SPARK_GRAFT_SF1=0).
     sf1 = {}
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        import traceback
+
         import bench_scale
 
-        sf1 = bench_scale.sf1_section(spark)
+        try:
+            sf1 = bench_scale.sf1_section(spark)
+        except Exception:  # partial bench beats no bench
+            sf1 = {"error": traceback.format_exc()[-2000:]}
     spark.stop()
 
     # 3. scaling evidence in fresh subprocesses. The 4/16 pair runs
