@@ -137,17 +137,20 @@ from functools import lru_cache
 @lru_cache(maxsize=2048)
 def _flow_template(
     ntok: int, wrap: int
-) -> tuple[list, list, list, list, int]:
+) -> tuple[tuple, tuple, tuple, tuple, int]:
     """Flow-layout columns that depend ONLY on (ntok, wrap): block-
     relative line numbers, word slots, x offsets, block-relative y
     offsets, and the line count. Block sizes repeat heavily across a
     corpus, so caching these avoids recomputing the same integer
-    sequences per block (identical values — byte-identity preserved)."""
+    sequences per block (identical values — byte-identity preserved).
+    Columns are TUPLES: the cache shares one object across blocks, so
+    a mutable return would let any in-place edit corrupt every later
+    same-sized block."""
     pos = [i % wrap for i in range(ntok)]
-    line_rel = [i // wrap + 1 for i in range(ntok)]
-    word = [p + 1 for p in pos]
-    left = [p * COL_W for p in pos]
-    top_rel = [(l - 1) * LINE_H for l in line_rel]
+    line_rel = tuple(i // wrap + 1 for i in range(ntok))
+    word = tuple(p + 1 for p in pos)
+    left = tuple(p * COL_W for p in pos)
+    top_rel = tuple((l - 1) * LINE_H for l in line_rel)
     return line_rel, word, left, top_rel, (ntok + wrap - 1) // wrap
 
 
