@@ -44,7 +44,10 @@ def _corpus(spark, n_docs: int) -> dict:
     from tesseract_ocr_service_spark.sources import scale
 
     d = f"{BASE}/n{n_docs}_s{SEED}"
-    if not os.path.exists(f"{d}/documents.parquet/_SUCCESS"):
+    # gate on the table written LAST: an interrupted first generation
+    # must not wedge the cache with documents present but embeddings
+    # missing/partial (write_scaled_corpus writes embeddings second)
+    if not os.path.exists(f"{d}/embeddings.parquet/_SUCCESS"):
         scale.write_scaled_corpus(spark, d, n_docs, int(n_docs * VEC_FRAC), SEED)
     return {
         "documents": spark.read.parquet(f"{d}/documents.parquet"),
