@@ -72,13 +72,26 @@ def cap_buckets(
     bucket can still pair through their OTHER bands; a corpus that is
     degenerate in every band (all-identical docs) should be
     exact-deduped first — that's the documented pipeline order.
+
+    Plan shape: a window count over ``key_cols``, NOT a groupBy +
+    left_anti — the anti-join form makes the counts side a SECOND
+    consumer of the (expensive) upstream plan, and there is no
+    ReusedExchange under AQE here (CLAUDE.md), so e.g. simhash_pairs'
+    full tokenize+64-bit-sum stage ran 4x per action. The window's
+    shuffle lands on the exact keys the downstream bucket groupBy /
+    self-join needs, so it adds no exchange of its own. NULL-keyed
+    rows can now be window-capped where the anti-join always kept
+    them — identical pair output either way, since NULL keys never
+    match a bucket equi-join.
     """
-    counts = rows.groupBy(*key_cols).agg(F.count("*").alias("_n"))
-    hot = counts.where(F.col("_n") > cap)
     if log_drops:
-        s = hot.agg(
-            F.count("*").alias("nb"), F.sum("_n").alias("nr")
-        ).collect()[0]
+        s = (
+            rows.groupBy(*key_cols)
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > cap)
+            .agg(F.count("*").alias("nb"), F.sum("_n").alias("nr"))
+            .collect()[0]
+        )
         if s["nb"]:
             log.warning(
                 "%s: capped %d bucket(s) with > %d members "
@@ -88,7 +101,12 @@ def cap_buckets(
                 cap,
                 s["nr"],
             )
-    return rows.join(hot.select(*key_cols), key_cols, "left_anti")
+    w = Window.partitionBy(*key_cols)
+    return (
+        rows.withColumn("_bucket_n", F.count("*").over(w))
+        .where(F.col("_bucket_n") <= cap)
+        .drop("_bucket_n")
+    )
 
 
 def bucket_cap_stats(
@@ -400,6 +418,19 @@ def minhash_lsh_candidates(
     )
 
 
+def bucket_id_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct ordered (id_a, id_b) pairs from LSH bucket rows
+    carrying a ``member_ids`` array (:func:`minhash_lsh_candidates`):
+    the double explode stays id-only — payloads are joined back by id
+    by the caller, never carried through the pair fan-out."""
+    return (
+        buckets.select(F.explode("member_ids").alias("id_a"), "member_ids")
+        .select("id_a", F.explode("member_ids").alias("id_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -422,15 +453,11 @@ def minhash_dedup_pairs(
         if sigs is not None
         else minhash_signatures_agg(df, id_col, text_col, k, n)
     )
-    cands = (
+    cands = bucket_id_pairs(
         minhash_lsh_candidates(
             df, id_col, text_col, k, bands, n, sigs=with_sig,
             max_bucket=max_bucket, log_drops=log_drops,
         )
-        .select(F.explode(F.col("member_ids")).alias("id_a"), "member_ids")
-        .select("id_a", F.explode("member_ids").alias("id_b"))
-        .where(F.col("id_a") < F.col("id_b"))
-        .distinct()
     )
     a = with_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     b = with_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -843,8 +870,16 @@ def connected_components_star(
             log.warning(msg)
         else:
             raise RuntimeError(msg)
-    # converged edge set = stars (child, center=component min)
-    labels = e.select(F.col("a").alias("id"), F.col("b").alias("label"))
+    # Converged edge set = stars (child, center=component min). The
+    # min-aggregate is an identity no-op on a star (one b per a) but
+    # guarantees EXACTLY one row per vertex in the warn path, where a
+    # mid-contraction edge set can still hold several (a, b) rows —
+    # without it the left join below fans out and the "partial labels"
+    # contract (one row per vertex) breaks.
+    labels = (
+        e.groupBy(F.col("a").alias("id"))
+        .agg(F.min("b").alias("label"))
+    )
     return (
         vertices.select(F.col(id_col).alias("id"))
         .join(labels, "id", "left")

@@ -605,7 +605,18 @@ def _sql_dedup_corpus_kept(
 ) -> str:
     """DuckDB replay of dedup.dedup_corpus: exact dedup (min doc_id per
     normalized-md5 fingerprint) -> minhash sigs over survivors -> banded
-    LSH candidates -> signature-agreement verify -> drop larger ids."""
+    LSH candidates -> signature-agreement verify -> drop larger ids.
+
+    Cap delta (here and in _sql_neardup_components /
+    _sql_embedding_neardups): the oracles model NO bucket cap, while
+    the Spark operators default ``max_bucket=5000``
+    (dedup.cap_buckets). Equivalence holds whenever every band bucket
+    stays <= 5000 members — true for the driver corpora by orders of
+    magnitude (max bucket ~ tens at sf0.01/sf0.1), and for any corpus
+    that ran exact dedup first, which is the pipeline order
+    dedup_corpus itself enforces. A >5000-member NON-identical bucket
+    family would diverge: the operator drops those candidates (pass
+    max_bucket=None for oracle-exact behavior on degenerate data)."""
     mins = ", ".join(
         f"list_min(list_transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
         for i in range(k)
