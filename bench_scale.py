@@ -126,10 +126,18 @@ def sf1_section(spark) -> dict:
         ng.update({"wall": w, "pairs": nout, "hot_shingle_cap": 100})
         sec["ngram_jaccard"] = ng
 
-        # --- minhash signatures + LSH banding (the production path)
+        # --- minhash signatures + LSH banding (the production path).
+        # wall_sigs measures the UNCACHED signature stage, so it runs
+        # BEFORE the persist (the cache manager matches by logical
+        # plan — persisting first would time a cache read); every
+        # later stage reuses the persisted sigs instead of recomputing
+        # the shingle/minhash pass (same discipline as the 100x tier).
         w, _ = _timed(lambda: D.minhash_signatures_agg(docs))
-        cand = _pair_sum(D.minhash_lsh_candidates(docs), "n_docs")
-        wv, nv = _timed(lambda: D.minhash_dedup_pairs(docs, threshold=0.7))
+        sigs = D.minhash_signatures_agg(docs).persist()
+        cand = _pair_sum(D.minhash_lsh_candidates(docs, sigs=sigs), "n_docs")
+        wv, nv = _timed(
+            lambda: D.minhash_dedup_pairs(docs, threshold=0.7, sigs=sigs)
+        )
         # CANDIDATE RECALL vs exact ground truth: linear candidate
         # growth means nothing if the bands silently lose true pairs
         # as N grows. Truth = exact 3-gram jaccard >= 0.7 (uncapped);
@@ -137,15 +145,12 @@ def sf1_section(spark) -> dict:
         truth = D.ngram_jaccard_pairs(
             docs, threshold=0.7, hot_shingle_cap=10**9
         ).select("id_a", "id_b")
-        cand_pairs_df = (
-            D.minhash_lsh_candidates(docs)
-            .select(F.explode("member_ids").alias("id_a"), "member_ids")
-            .select("id_a", F.explode("member_ids").alias("id_b"))
-            .where(F.col("id_a") < F.col("id_b"))
-            .distinct()
+        cand_pairs_df = D.bucket_id_pairs(
+            D.minhash_lsh_candidates(docs, sigs=sigs)
         )
         n_true = truth.count()
         n_hit = truth.join(cand_pairs_df, ["id_a", "id_b"]).count()
+        sigs.unpersist()
         sec["minhash_lsh"] = {
             "wall_sigs": w,
             "cand_pairs": cand,
