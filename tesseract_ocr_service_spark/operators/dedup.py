@@ -635,8 +635,20 @@ def simhash_pairs(
     XOR. -> (id_a, id_b, hamming).
 
     ``max_bucket`` caps the per-(band, band_key) membership before the
-    self-join (see :func:`cap_buckets` — a constant-text corpus
-    otherwise makes one bucket quadratic); None disables."""
+    pair fan-out (see :func:`cap_buckets` — a constant-text corpus
+    otherwise makes one bucket quadratic) and bounds the per-bucket
+    collect_list below; None disables BOTH (an uncapped degenerate
+    bucket then risks the aggregation buffer, exactly like
+    minhash_lsh_candidates).
+
+    Plan shape: candidates come from ONE collect_list aggregation per
+    bucket, not an a/b self-join — the self-join form evaluated the
+    tokenize + 64-bit-sum simhash stage once per alias (no
+    ReusedExchange under AQE, CLAUDE.md). (id, sh) is 16 bytes, so
+    carrying sh through the bucket rows is free and saves the
+    join-back the embedding variant needs for its vectors. The
+    null-key guard keeps the old equi-join semantics (null band keys
+    never matched, so they must not pair)."""
     sh = simhash_table(df, id_col, text_col)
     banded = sh.select(
         "id",
@@ -649,21 +661,21 @@ def simhash_pairs(
                 ]
             )
         ).alias("band", "band_key"),
-    )
+    ).where(F.col("band_key").isNotNull())
     if max_bucket is not None:
         banded = cap_buckets(
             banded, ["band", "band_key"], max_bucket, "simhash_pairs",
             log_drops,
         )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
+        .where(F.size("members") >= 2)
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

@@ -366,22 +366,21 @@ def embedding_neardup_pairs(
     )
     banded = base.select(
         "id", F.posexplode(band_buckets).alias("band", "bucket")
-    )
+    ).where(F.col("bucket").isNotNull())
     if max_bucket is not None:
         banded = _dedup.cap_buckets(
             banded, ["band", "bucket"], max_bucket,
             "embedding_neardup_pairs", log_drops,
         )
-    l, r = banded.alias("l"), banded.alias("r")
-    cands = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
+    # ONE collect_list aggregation per bucket, then the shared id-pair
+    # fan-out — an l/r self-join would evaluate the banding (dim dot
+    # products per vector per plane) once per alias; this form scans
+    # it once. The cap above bounds the per-bucket array; the null
+    # guard keeps equi-join semantics (null buckets never paired).
+    cands = _dedup.bucket_id_pairs(
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("member_ids"))
+        .where(F.size("member_ids") >= 2)
     )
     # Precompute each vector's norm ONCE (N rows) instead of inside the
     # per-pair cosine (candidate pairs >> N): the pair stage then costs
