@@ -256,15 +256,23 @@ def ngram_jaccard_pairs(
     `hot_shingle_cap` docs (quadratic-blowup guard) -> self-join on the
     shingle -> per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.
     -> (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4.
+
+    The hot-shingle drop is a window count over the shingle (one pass,
+    shuffled on the key the self-join needs anyway), not a counts
+    anti-join that would make the shingle explode a 4th consumer of
+    itself; pair counting stays a streaming sort-merge self-join —
+    shingles are non-null by construction (token concat), so the
+    window form drops exactly what the anti-join did.
     """
     sh = shingle_rows(df, id_col, text_col, n, distinct=True)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("docs"))
-        .where(F.col("docs") > hot_shingle_cap)
-        .select("shingle")
+    cool = (
+        sh.withColumn(
+            "_df",
+            F.count("*").over(Window.partitionBy("shingle")),
+        )
+        .where(F.col("_df") <= hot_shingle_cap)
+        .drop("_df")
     )
-    cool = sh.join(hot, "shingle", "left_anti")
     # sizes over the SAME filtered shingle space as the intersections —
     # mixing unfiltered |A| with filtered |A∩B| would systematically
     # underestimate jaccard whenever the cap is active.
@@ -635,20 +643,18 @@ def simhash_pairs(
     XOR. -> (id_a, id_b, hamming).
 
     ``max_bucket`` caps the per-(band, band_key) membership before the
-    pair fan-out (see :func:`cap_buckets` — a constant-text corpus
-    otherwise makes one bucket quadratic) and bounds the per-bucket
-    collect_list below; None disables BOTH (an uncapped degenerate
-    bucket then risks the aggregation buffer, exactly like
-    minhash_lsh_candidates).
+    self-join (see :func:`cap_buckets` — a constant-text corpus
+    otherwise makes one bucket quadratic); None disables.
 
-    Plan shape: candidates come from ONE collect_list aggregation per
-    bucket, not an a/b self-join — the self-join form evaluated the
-    tokenize + 64-bit-sum simhash stage once per alias (no
-    ReusedExchange under AQE, CLAUDE.md). (id, sh) is 16 bytes, so
-    carrying sh through the bucket rows is free and saves the
-    join-back the embedding variant needs for its vectors. The
-    null-key guard keeps the old equi-join semantics (null band keys
-    never matched, so they must not pair)."""
+    Plan shape: the window cap means the simhash stage is evaluated
+    once per self-join ALIAS (2 scans), not 2x that again for a counts
+    anti-join. Pair enumeration deliberately stays a streaming
+    sort-merge self-join, NOT a collect_list + double-explode like the
+    embedding variant: simhash band collisions are birthday-quadratic
+    at fixed 16-bit width (measured 3.5M candidates at 50k docs), and
+    exploding a bucket of m members copies the member array m times —
+    m^2 struct copies in one task (measured 16.1s vs 4.6s at the 10x
+    tier) — where the join streams both sorted sides."""
     sh = simhash_table(df, id_col, text_col)
     banded = sh.select(
         "id",
@@ -661,21 +667,21 @@ def simhash_pairs(
                 ]
             )
         ).alias("band", "band_key"),
-    ).where(F.col("band_key").isNotNull())
+    )
     if max_bucket is not None:
         banded = cap_buckets(
             banded, ["band", "band_key"], max_bucket, "simhash_pairs",
             log_drops,
         )
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
-        .where(F.size("members") >= 2)
-    )
+    a = banded.alias("a")
+    b = banded.alias("b")
     cands = (
-        buckets.select(F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
-        .where(F.col("a.id") < F.col("b.id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
