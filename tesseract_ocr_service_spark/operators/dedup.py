@@ -265,28 +265,33 @@ def ngram_jaccard_pairs(
     window form drops exactly what the anti-join did.
     """
     sh = shingle_rows(df, id_col, text_col, n, distinct=True)
+    # sizes over the SAME filtered shingle space as the intersections —
+    # mixing unfiltered |A| with filtered |A∩B| would systematically
+    # underestimate jaccard whenever the cap is active. The size is a
+    # second window count CARRIED THROUGH the self-join (constant per
+    # id, so first() per pair recovers it) rather than a separate
+    # sizes table joined twice: the shingle pipeline (tokenize +
+    # explode + lead-window) is the expensive stage, and each extra
+    # consumer re-evaluates it.
     cool = (
         sh.withColumn(
             "_df",
             F.count("*").over(Window.partitionBy("shingle")),
         )
         .where(F.col("_df") <= hot_shingle_cap)
-        .drop("_df")
+        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+        .select("id", "shingle", "sz")
     )
-    # sizes over the SAME filtered shingle space as the intersections —
-    # mixing unfiltered |A| with filtered |A∩B| would systematically
-    # underestimate jaccard whenever the cap is active.
-    sizes = cool.groupBy("id").agg(F.count("*").alias("sz"))
     a = cool.alias("a")
     b = cool.alias("b")
-    inter = (
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(

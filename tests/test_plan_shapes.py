@@ -89,6 +89,36 @@ def test_quota_sample_and_splits_have_no_global_window(spark):
     assert "Exchange" not in plan2, plan2
 
 
+def test_lsh_pair_plans_scan_upstream_minimally(spark):
+    """The bucket cap must be a window count, not a counts anti-join:
+    the anti-join form made the counts side an extra consumer of the
+    expensive upstream (no ReusedExchange under AQE — CLAUDE.md), so
+    simhash_pairs evaluated its tokenize + 64-bit-sum stage 4x and
+    ngram_jaccard_pairs its shingle pipeline 5x. Pin the physical
+    scan-node counts: simhash = 2 (the two streaming self-join
+    aliases); ngram = 4 (two aliases x the 2-branch union inside
+    shingle_rows — per-doc sizes are window counts carried through the
+    join, NOT a separate sizes table joined twice); embedding = 3 (1
+    bucket aggregation + 2 cheap vector join-backs)."""
+    from tesseract_ocr_service_spark.operators import dedup as D
+    from tesseract_ocr_service_spark.operators import similarity as S
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    embs = spark.read.parquet(f"{sf}/embeddings.parquet")
+
+    def _scans(df, pat):
+        return sum(
+            1
+            for line in _plan(df).splitlines()
+            if "Scan parquet" in line and pat in line
+        )
+
+    assert _scans(D.simhash_pairs(docs), "documents.parquet") == 2
+    assert _scans(D.ngram_jaccard_pairs(docs), "documents.parquet") == 4
+    assert _scans(S.embedding_neardup_pairs(embs), "embeddings.parquet") == 3
+
+
 def test_top_tokens_has_no_global_window(spark):
     """top_tokens must rank via an ordered limit (per-partition top-k
     merged on the driver), NEVER an unpartitioned WindowExec that drags
