@@ -95,6 +95,97 @@ def _pair_sum(grouped, n_col: str):
     )
 
 
+def _deep_tier(spark, D, docs, n: int) -> dict:
+    """The 100x tier body (production dedup path + telemetry-only
+    aggregates). Split out so the caller can wrap it in try/finally
+    restoring the shuffle-partition conf it runs under."""
+    w_sig, _ = _timed(
+        lambda: D.minhash_signatures_agg(docs), max_attempts=2
+    )
+    sigs = D.minhash_signatures_agg(docs).persist()
+    cand = _pair_sum(D.minhash_lsh_candidates(docs, sigs=sigs), "n_docs")
+    wv, nv = _timed(
+        lambda: D.minhash_dedup_pairs(docs, threshold=0.7, sigs=sigs),
+        max_attempts=2,
+    )
+    sigs.unpersist()
+    w, kept = _timed(lambda: D.dedup_corpus(docs), max_attempts=2)
+    # telemetry-only aggregates (no joins): the shingle-df cap sweep at
+    # the third decade — as head shingles cross a fixed cap they drop
+    # out, bending exact-jaccard candidate growth from quadratic toward
+    # ~N*cap — and the simhash band-collision counts for BOTH pair-gen
+    # shapes: fixed 16-bit bands (~N^2/2^16, the documented limit) vs
+    # the multi-index 3-of-6-block keys (~32-bit space, the scale-safe
+    # default since round 4).
+    sh = D.shingle_rows(docs, "doc_id", "text", 3, distinct=True)
+    row = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("m"))
+        .agg(
+            F.max("m").alias("max_df"),
+            *[
+                F.sum(
+                    F.when(
+                        F.col("m") <= cap,
+                        F.col("m") * (F.col("m") - 1) / 2,
+                    ).otherwise(0)
+                ).alias(f"cand_pairs_cap{cap}")
+                for cap in (50, 100, 1000)
+            ],
+        )
+        .collect()[0]
+    )
+    # empty/degenerate corpora aggregate to NULL — report 0, not a crash
+    ngram_tel = {k: int(row[k] or 0) for k in row.asDict()}
+    sht = D.simhash_table(docs)
+    simhash_cand = _pair_sum(
+        sht.select(
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned("sh", 16 * b).bitwiseAND(
+                            F.lit(0xFFFF)
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band", "band_key")
+        )
+        .groupBy("band", "band_key")
+        .agg(F.count("*").alias("m")),
+        "m",
+    )
+    mi_cand = _pair_sum(
+        D.simhash_multi_index_keys(sht)
+        .groupBy("table_id", "key")
+        .agg(F.count("*").alias("m")),
+        "m",
+    )
+    wmp, nmp = _timed(
+        lambda: D.simhash_pairs_multi_index(docs, max_hamming=3),
+        max_attempts=2,
+    )
+    return {
+        "n_docs": n,
+        "minhash_lsh": {
+            "wall_sigs": w_sig,
+            "cand_pairs": cand,
+            "cand_pairs_per_doc": round(cand / n, 4),
+            "wall_verify_sigs_persisted": wv,
+            "verified_pairs": nv,
+        },
+        "dedup_corpus": {"wall": w, "kept": kept, "dropped": n - kept},
+        "ngram_shingle_df": ngram_tel,
+        "simhash_cand_pairs": simhash_cand,
+        "simhash_multi_index": {
+            "cand_pairs": mi_cand,
+            "cand_pairs_per_doc": round(mi_cand / n, 4),
+            "wall_pairs": wmp,
+            "pairs": nmp,
+        },
+    }
+
+
 def sf1_section(spark) -> dict:
     from tesseract_ocr_service_spark.operators import dedup as D
     from tesseract_ocr_service_spark.operators import similarity as S
@@ -200,6 +291,22 @@ def sf1_section(spark) -> dict:
             "pairs": np_,
             "cand_pairs": _pair_sum(occ_sh, "m"),
         }
+        # multi-index (3-of-6-block, ~32-bit keys) vs fixed 16-bit
+        # bands: same exact hamming<=3 pair set, candidate count
+        # should stay ~O(N) where fixed bands grow ~N^2/2^16
+        mi_cand = _pair_sum(
+            D.simhash_multi_index_keys(sht)
+            .groupBy("table_id", "key")
+            .agg(F.count("*").alias("m")),
+            "m",
+        )
+        wmp, nmp = _timed(lambda: D.simhash_pairs_multi_index(docs))
+        sec["simhash_multi_index"] = {
+            "cand_pairs": mi_cand,
+            "cand_pairs_per_doc": round(mi_cand / n, 4),
+            "wall_pairs": wmp,
+            "pairs": nmp,
+        }
 
         # --- embedding near-dup LSH: default planes; at 10x ALSO the
         # log2(N)-sized index (n_planes 8 -> 11 for 10x vectors;
@@ -265,76 +372,12 @@ def sf1_section(spark) -> dict:
         # partitions away on the smaller stages.
         prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "128")
-        w_sig, _ = _timed(
-            lambda: D.minhash_signatures_agg(docs), max_attempts=2
-        )
-        sigs = D.minhash_signatures_agg(docs).persist()
-        cand = _pair_sum(
-            D.minhash_lsh_candidates(docs, sigs=sigs), "n_docs"
-        )
-        wv, nv = _timed(
-            lambda: D.minhash_dedup_pairs(docs, threshold=0.7, sigs=sigs),
-            max_attempts=2,
-        )
-        sigs.unpersist()
-        w, kept = _timed(lambda: D.dedup_corpus(docs), max_attempts=2)
-        # telemetry-only aggregates (no joins): the shingle-df cap
-        # sweep at the third decade — as head shingles cross a fixed
-        # cap they drop out, bending exact-jaccard candidate growth
-        # from quadratic toward ~N*cap — and the simhash band-collision
-        # count, whose ~N^2/2^16 growth is the documented fixed-width
-        # limit.
-        sh = D.shingle_rows(docs, "doc_id", "text", 3, distinct=True)
-        row = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("m"))
-            .agg(
-                F.max("m").alias("max_df"),
-                *[
-                    F.sum(
-                        F.when(
-                            F.col("m") <= cap,
-                            F.col("m") * (F.col("m") - 1) / 2,
-                        ).otherwise(0)
-                    ).alias(f"cand_pairs_cap{cap}")
-                    for cap in (50, 100, 1000)
-                ],
-            )
-            .collect()[0]
-        )
-        ngram_tel = {k: int(row[k]) for k in row.asDict()}
-        simhash_cand = _pair_sum(
-            D.simhash_table(docs)
-            .select(
-                F.posexplode(
-                    F.array(
-                        *[
-                            F.shiftrightunsigned("sh", 16 * b).bitwiseAND(
-                                F.lit(0xFFFF)
-                            )
-                            for b in range(4)
-                        ]
-                    )
-                ).alias("band", "band_key")
-            )
-            .groupBy("band", "band_key")
-            .agg(F.count("*").alias("m")),
-            "m",
-        )
-        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
-        out["100x"] = {
-            "n_docs": n,
-            "minhash_lsh": {
-                "wall_sigs": w_sig,
-                "cand_pairs": cand,
-                "cand_pairs_per_doc": round(cand / n, 4),
-                "wall_verify_sigs_persisted": wv,
-                "verified_pairs": nv,
-            },
-            "dedup_corpus": {"wall": w, "kept": kept, "dropped": n - kept},
-            "ngram_shingle_df": ngram_tel,
-            "simhash_cand_pairs": simhash_cand,
-        }
+        try:
+            out["100x"] = _deep_tier(spark, D, docs, n)
+        finally:
+            # bench.py swallows tier exceptions — the session conf must
+            # not stay mutated for whatever runs next in this process
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
 
     # wall + output ratios 10x/1x
     ratios: dict = {}
@@ -344,6 +387,7 @@ def sf1_section(spark) -> dict:
         ("dedup_corpus", "wall"),
         ("neardup_components", "wall"),
         ("simhash", "wall_pairs"),
+        ("simhash_multi_index", "wall_pairs"),
         ("embedding_lsh_p8", "wall"),
     ):
         lo, hi = out["1x"][op][field], out["10x"][op][field]

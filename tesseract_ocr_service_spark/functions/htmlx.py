@@ -133,6 +133,12 @@ def extract_word_records(
 
 from functools import lru_cache
 
+#: only cache templates for blocks this small: block sizes that repeat
+#: often enough to benefit are overwhelmingly small, and 2048 cached
+#: entries of four up-to-4096-element tuples would retain hundreds of
+#: MB per Python worker on a corpus with diverse large blocks.
+_CACHE_NTOK_MAX = 512
+
 
 @lru_cache(maxsize=2048)
 def _flow_template(
@@ -185,7 +191,7 @@ def extract_words_columnar(
             continue
         kept += 1
         ntok = len(tokens)
-        if ntok <= 4096:
+        if ntok <= _CACHE_NTOK_MAX:
             line_rel, word, left, top_rel, n_lines = _flow_template(ntok, wrap)
         else:  # pathological block: compute directly, don't cache
             line_rel, word, left, top_rel, n_lines = _flow_template.__wrapped__(

@@ -643,9 +643,15 @@ def simhash_pairs(
     max_bucket: int | None = 5000,
     log_drops: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by simhash banding: 64 bits -> 4 x 16-bit bands;
-    pairs sharing any band are verified with an exact popcount of the
-    XOR. -> (id_a, id_b, hamming).
+    """Near-dup pairs by FIXED-BAND simhash banding: 64 bits -> 4 x
+    16-bit bands; pairs sharing any band are verified with an exact
+    popcount of the XOR. -> (id_a, id_b, hamming).
+
+    SCALE LIMIT: 16-bit bands are birthday-quadratic — candidates grow
+    ~N^2/2^16 (measured 347M at 500k docs). Beyond ~10^6 docs use
+    :func:`simhash_pairs_multi_index` (~32-bit keys, same exact
+    hamming<=3 guarantee, O(N) candidates); this fixed-band form is
+    kept as the simple small-corpus variant and cross-check.
 
     ``max_bucket`` caps the per-(band, band_key) membership before the
     self-join (see :func:`cap_buckets` — a constant-text corpus
@@ -700,6 +706,127 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _simhash_blocks(n_bits: int, n_blocks: int) -> list[tuple[int, int]]:
+    """Partition [0, n_bits) into ``n_blocks`` contiguous (shift, width)
+    blocks, widths as even as possible (wider blocks first)."""
+    base, extra = divmod(n_bits, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    out, shift = [], 0
+    for w in widths:
+        out.append((shift, w))
+        shift += w
+    return out
+
+
+def simhash_multi_index_keys(
+    sht: DataFrame, max_hamming: int = 3, n_bits: int = 64
+) -> DataFrame:
+    """Multi-index keys for hamming-ball search over simhash
+    fingerprints (Manku/Jain/Sarma's near-duplicate multi-table
+    construction, re-expressed as one posexplode fan-out): split the
+    ``n_bits`` fingerprint into ``max_hamming + 3`` contiguous blocks
+    and emit one key per 3-block subset — C(k+3, 3) tables.
+    -> (id, sh, table_id, key).
+
+    Exactness: <= k flipped bits touch <= k blocks, leaving >= 3 clean
+    blocks, so SOME 3-subset of blocks is identical between any pair
+    within hamming k — every true pair shares >= one (table_id, key).
+
+    Scale: each key concatenates 3 blocks, ~3*n_bits/(k+3) bits wide —
+    for the default 64-bit/k=3 case ~32-bit keys (20 tables), so bucket
+    occupancy is ~N/2^32 + true-duplicate clusters, NOT the N^2/2^16
+    birthday growth of fixed 16-bit banding (:func:`simhash_pairs`
+    measured 347M candidates at 500k docs; this shape measures
+    O(N * occupancy) in bench_scale's deep tier)."""
+    n_blocks = max_hamming + 3
+    if n_blocks > 8:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs C({n_blocks},3) tables — "
+            "designed for small hamming radii (<= 5)"
+        )
+    from itertools import combinations
+
+    blocks = _simhash_blocks(n_bits, n_blocks)
+
+    def _block(i: int):
+        shift, width = blocks[i]
+        return F.shiftrightunsigned("sh", shift).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    keys = []
+    for subset in combinations(range(n_blocks), 3):
+        k = F.lit(0).cast("bigint")
+        for bi in subset:
+            k = F.shiftleft(k, blocks[bi][1]) + _block(bi)
+        keys.append(k)
+    return sht.select(
+        "id", "sh", F.posexplode(F.array(*keys)).alias("table_id", "key")
+    )
+
+
+def simhash_pairs_multi_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    max_bucket: int | None = 512,
+    log_drops: bool = False,
+    sht: DataFrame | None = None,
+) -> DataFrame:
+    """Scale-safe near-dup pairs by simhash MULTI-INDEX lookup
+    (the production replacement for fixed-band :func:`simhash_pairs`):
+    C(max_hamming+3, 3) tables keyed on 3-block concatenations, pairs
+    verified by exact popcount. -> (id_a, id_b, hamming), exact — every
+    pair within ``max_hamming`` appears (pigeonhole over the blocks)
+    and none beyond it, provided no bucket is capped.
+
+    Plan shape: the (expensive) simhash table is scanned ONCE — the
+    fingerprint rides through the key fan-out as a struct member, so
+    the verify needs no join back. Pair enumeration is the one-bucket-
+    aggregation collect_list + double-explode form: with ~32-bit keys
+    buckets hold random collisions (~N/2^32) plus true near-dup
+    clusters only, which exact-dedup upstream keeps small — the shape
+    CLAUDE.md licenses for small-capped buckets. ``max_bucket`` caps
+    degenerate clusters (None disables, for oracle-exact behavior on
+    corpora known small); the popcount filter runs BEFORE the distinct
+    so the dedup shuffle carries only real pairs.
+
+    ``sht`` accepts a precomputed (id, sh) table (e.g. persisted by a
+    composed pipeline); ``hash_fn`` passes through to
+    :func:`simhash_table` ('md5_60' = the 60-bit oracle-reproducible
+    form)."""
+    if sht is None:
+        sht = simhash_table(df, id_col, text_col, hash_fn)
+    n_bits = 60 if hash_fn == "md5_60" else 64
+    keys = simhash_multi_index_keys(sht, max_hamming, n_bits)
+    if max_bucket is not None:
+        keys = cap_buckets(
+            keys, ["table_id", "key"], max_bucket,
+            "simhash_pairs_multi_index", log_drops,
+        )
+    buckets = (
+        keys.groupBy("table_id", "key")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("members"))
+        .where(F.size("members") >= 2)
+    )
+    pairs = (
+        buckets.select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+            ).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.distinct()
 
 
 def connected_components(

@@ -270,6 +270,16 @@ def simhash_fingerprints(spark, sf_dir):
     return sh.join(rolling, "doc_id")
 
 
+def simhash_neardup_pairs(spark, sf_dir):
+    """Scale-safe simhash near-dup pairs via the multi-index lookup
+    (C(6,3)=20 tables of 3-of-6-block keys, exact for hamming<=3) in
+    the md5-60 oracle-reproducible form. max_bucket=None: the oracle
+    models no cap, and exactness (the point under test) requires it."""
+    return D.simhash_pairs_multi_index(
+        _docs(spark, sf_dir), hash_fn="md5_60", max_bucket=None
+    )
+
+
 NEARDUP_T = 0.3
 NEARDUP_PLANES = 6
 NEARDUP_BANDS = 4
@@ -609,7 +619,7 @@ def _sql_dedup_corpus_kept(
 
     Cap delta (here and in _sql_neardup_components /
     _sql_embedding_neardups): the oracles model NO bucket cap, while
-    the Spark operators default ``max_bucket=5000``
+    the Spark operators default ``max_bucket=5000`` (500 embedding)
     (dedup.cap_buckets). Equivalence holds whenever every band bucket
     stays <= 5000 members — true for the driver corpora by orders of
     magnitude (max bucket ~ tens at sf0.01/sf0.1), and for any corpus
@@ -766,8 +776,10 @@ def _sql_embedding_neardups() -> str:
     """
 
 
-def _sql_simhash_fingerprints(n_bits: int = 60) -> str:
-    """DuckDB replay of the md5-60 simhash + md5 winnowing fingerprint."""
+def _simhash_ctes(n_bits: int = 60) -> str:
+    """CTE chain rebuilding dedup.simhash_table(hash_fn='md5_60') in
+    DuckDB: rawtoks -> h (60-bit md5 token hash) -> bits -> simh
+    (doc_id, sh)."""
     csum = ", ".join(
         f"CAST(sum((hv >> {b}) & 1) AS BIGINT) AS c{b}" for b in range(n_bits)
     )
@@ -776,8 +788,7 @@ def _sql_simhash_fingerprints(n_bits: int = 60) -> str:
         "ELSE 0 END)"
         for b in range(n_bits)
     )
-    return rf"""
-        WITH rawtoks AS (
+    return rf"""rawtoks AS (
             SELECT doc_id,
                    unnest(string_split_regex(coalesce(text, ''), '\s+'))
                        AS tok
@@ -792,7 +803,13 @@ def _sql_simhash_fingerprints(n_bits: int = 60) -> str:
             SELECT d.doc_id,
                    CAST(coalesce({sh_terms}, 0) AS BIGINT) AS sh
             FROM documents d LEFT JOIN bits USING (doc_id)
-        ),
+        )"""
+
+
+def _sql_simhash_fingerprints(n_bits: int = 60) -> str:
+    """DuckDB replay of the md5-60 simhash + md5 winnowing fingerprint."""
+    return rf"""
+        WITH {_simhash_ctes(n_bits)},
         {_shingle_ctes("documents", n=8)},
         roll AS (
             SELECT doc_id,
@@ -801,6 +818,22 @@ def _sql_simhash_fingerprints(n_bits: int = 60) -> str:
         )
         SELECT simh.doc_id, simh.sh, roll.rolling_fp
         FROM simh JOIN roll USING (doc_id)
+    """
+
+
+def _sql_simhash_neardup_pairs(max_hamming: int = 3) -> str:
+    """Brute-force all-pairs popcount over the md5-60 simhash table —
+    the ground truth the multi-index lookup must reproduce EXACTLY
+    (hamming <= k is caught by pigeonhole over the 6 blocks, never
+    dropped, and the popcount verify admits nothing beyond k). Fine as
+    an oracle at sf0.01 (C(500,2) pairs); the Spark side is the
+    O(N)-candidate production shape."""
+    return f"""
+        WITH {_simhash_ctes()}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
     """
 
 
@@ -950,6 +983,7 @@ SPARK_QUERIES = {
     "embedding_neardups": embedding_neardups,
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
     "image_features": image_features_fake,
     "audio_features": audio_features_fake,
 }
@@ -973,6 +1007,7 @@ ORACLES = {
     "embedding_neardups": _sql_embedding_neardups(),
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
+    "simhash_neardup_pairs": _sql_simhash_neardup_pairs(),
     "image_features": _sql_image_features(),
     "audio_features": _sql_audio_features(),
     "pdf_kernel_pages": P.sql_pdf_kernel_pages(),

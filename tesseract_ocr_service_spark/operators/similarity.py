@@ -190,7 +190,13 @@ def ivf_centroids(
         )
         by_list: dict[int, list] = {}
         for r in means:
-            by_list.setdefault(r["list_id"], [0.0] * dim)[r["pos"]] = r["c"]
+            # seed with the PREVIOUS centroid, not zeros: a dimension
+            # unobserved in a list's assigned vectors (ragged/short
+            # arrays) keeps its prior value instead of silently
+            # collapsing to 0.0
+            by_list.setdefault(
+                r["list_id"], list(cents[r["list_id"]])
+            )[r["pos"]] = r["c"]
         cents = [by_list.get(j, cents[j]) for j in range(len(cents))]
     return cents
 
@@ -329,7 +335,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    max_bucket: int | None = 5000,
+    max_bucket: int | None = 500,
     log_drops: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicates via MULTI-BAND sign-LSH:
@@ -372,16 +378,34 @@ def embedding_neardup_pairs(
             banded, ["band", "bucket"], max_bucket,
             "embedding_neardup_pairs", log_drops,
         )
-    # ONE collect_list aggregation per bucket, then the shared id-pair
-    # fan-out — an l/r self-join would evaluate the banding (dim dot
-    # products per vector per plane) once per alias; this form scans
-    # it once. The cap above bounds the per-bucket array; the null
-    # guard keeps equi-join semantics (null buckets never paired).
-    cands = _dedup.bucket_id_pairs(
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("member_ids"))
-        .where(F.size("member_ids") >= 2)
-    )
+    # Pair enumeration shape depends on the bucket bound (CLAUDE.md
+    # rule): the ONE-aggregation collect_list + id-pair fan-out scans
+    # the banding (dim dot products per vector per plane) once, but
+    # exploding a bucket of m members copies the member array m times
+    # — m^2 struct copies in ONE task, safe only when m is capped to a
+    # few hundred. With the cap disabled (or set large) fall back to
+    # the streaming sort-merge self-join: two banding scans, but work
+    # distributed across tasks instead of concentrated.
+    if max_bucket is not None and max_bucket <= 1024:
+        cands = _dedup.bucket_id_pairs(
+            banded.groupBy("band", "bucket")
+            .agg(F.collect_list("id").alias("member_ids"))
+            .where(F.size("member_ids") >= 2)
+        )
+    else:
+        ba, bb = banded.alias("ba"), banded.alias("bb")
+        cands = (
+            ba.join(
+                bb,
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.bucket") == F.col("bb.bucket"))
+                & (F.col("ba.id") < F.col("bb.id")),
+            )
+            .select(
+                F.col("ba.id").alias("id_a"), F.col("bb.id").alias("id_b")
+            )
+            .distinct()
+        )
     # Precompute each vector's norm ONCE (N rows) instead of inside the
     # per-pair cosine (candidate pairs >> N): the pair stage then costs
     # one dot product + a division. norm(v) here is the identical

@@ -115,6 +115,11 @@ def test_lsh_pair_plans_scan_upstream_minimally(spark):
         )
 
     assert _scans(D.simhash_pairs(docs), "documents.parquet") == 2
+    # multi-index: sh rides the key fan-out as a struct member, so the
+    # expensive tokenize+64-sum stage runs ONCE (no verify join-back)
+    assert (
+        _scans(D.simhash_pairs_multi_index(docs), "documents.parquet") == 1
+    )
     assert _scans(D.ngram_jaccard_pairs(docs), "documents.parquet") == 4
     assert _scans(S.embedding_neardup_pairs(embs), "embeddings.parquet") == 3
 

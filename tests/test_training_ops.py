@@ -76,6 +76,59 @@ def test_simhash_near_dup(spark):
     assert not any(3 in p for p in found)
 
 
+def test_simhash_multi_index_matches_fixed_bands(spark):
+    """Both pair generators are provably exact for hamming <= 3
+    (pigeonhole over their block structures), so their pair sets must
+    be IDENTICAL on any corpus; the sf0.001 documents table has real
+    near-dup clusters (25 pairs), so the equality is non-vacuous."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mi = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs_multi_index(docs, max_bucket=None).collect()
+    }
+    fb = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs(docs, max_bucket=None).collect()
+    }
+    assert mi == fb
+    assert len(mi) > 0
+
+
+def test_simhash_multi_index_pigeonhole_guarantee():
+    """Pure-python property of the block/table construction: ANY two
+    60- or 64-bit values within hamming <= k share at least one of the
+    C(k+3, 3) 3-block keys — the exactness claim the operator's plan
+    relies on (no Spark needed; exhaustively random-checked)."""
+    import random
+    from itertools import combinations
+
+    rng = random.Random(7)
+    for n_bits in (60, 64):
+        for k in (1, 2, 3):
+            blocks = D._simhash_blocks(n_bits, k + 3)
+            subsets = list(combinations(range(k + 3), 3))
+
+            def keys(v):
+                out = []
+                for sub in subsets:
+                    key = 0
+                    for bi in sub:
+                        shift, width = blocks[bi]
+                        key = (key << width) | ((v >> shift) & ((1 << width) - 1))
+                    out.append(key)
+                return out
+
+            for _ in range(200):
+                a = rng.getrandbits(n_bits)
+                b = a
+                for bit in rng.sample(range(n_bits), k):
+                    b ^= 1 << bit
+                shared = any(
+                    x == y for x, y in zip(keys(a), keys(b))
+                )
+                assert shared, (n_bits, k, a, b)
+
+
 def test_simhash_deterministic(spark, docs):
     a = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", T.simhash64(F.col("text")).alias("sh")).collect()}
     b = {r["doc_id"]: r["sh"] for r in docs.select("doc_id", T.simhash64(F.col("text")).alias("sh")).collect()}
