@@ -394,9 +394,32 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 
 
 def kernel_iter(
-    batches: Iterable[pd.DataFrame], cfg: ExtractConfig
+    batches: Iterable[pd.DataFrame],
+    cfg: ExtractConfig,
+    day_acc=None,
 ) -> Iterator[pd.DataFrame]:
-    """``mapInPandas`` entrypoint: lazily extract each Arrow batch."""
+    """``mapInPandas`` entrypoint: lazily extract each Arrow batch.
+
+    ``day_acc`` (optional Spark accumulator of dict[str, float], see
+    ``plans.commit._DayMsParam``) collects kernel wall milliseconds
+    attributed per warc_day: each batch's wall is split proportionally
+    to its per-day row counts. Semantics are Spark's for accumulators
+    in transformations — at-least-once under task retry — so the
+    numbers are metrics, not an audit log."""
+    import time as _time
+
     for batch in batches:
-        if len(batch):
+        if not len(batch):
+            continue
+        if day_acc is None:
             yield extract_batch(batch, cfg)
+            continue
+        t0 = _time.perf_counter()
+        out = extract_batch(batch, cfg)
+        ms = (_time.perf_counter() - t0) * 1000.0
+        counts = batch["warc_ts"].dt.strftime("%Y-%m-%d").value_counts()
+        total = int(counts.sum()) or 1
+        day_acc.add(
+            {str(d): ms * int(c) / total for d, c in counts.items()}
+        )
+        yield out

@@ -362,6 +362,54 @@ def minhash_signatures_agg(
     )
 
 
+def sig_band_rows(
+    sigs: DataFrame, k: int = 16, bands: int = 4, carry: tuple = ()
+) -> DataFrame:
+    """Explode an (id, sig) table into LSH band rows: (id, *carry,
+    band, band_key) where band_key = md5 of the band's signature slice.
+    Shared by the one-shot banding (:func:`minhash_lsh_candidates`)
+    and the incremental store probe (operators/incremental.py) so both
+    paths hash band keys identically. Computing band keys from a
+    STORED signature costs 4 md5 calls per row — no re-shingling,
+    which is the point of persisting signatures."""
+    rows_per_band = k // bands
+    return sigs.select(
+        "id",
+        *carry,
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.array_join(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            "|",
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def minhash_est_jaccard(sig_a, sig_b, k: int):
+    """Signature-agreement ratio (estimated jaccard), rounded 4dp —
+    the ONE expression every verify path must share so incremental and
+    one-shot dedup make bit-identical keep/drop decisions."""
+    return F.round(
+        F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+                lambda z: z == 1,
+            )
+        )
+        / F.lit(float(k)),
+        4,
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -392,30 +440,12 @@ def minhash_lsh_candidates(
             f"k={k} not divisible by bands={bands}: trailing signature "
             "components would be silently ignored"
         )
-    rows_per_band = k // bands
     with_sig = (
         sigs
         if sigs is not None
         else minhash_signatures_agg(df, id_col, text_col, k, n)
     )
-    bands_df = with_sig.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.array_join(
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            "|",
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    bands_df = sig_band_rows(with_sig, k, bands)
     if max_bucket is not None:
         bands_df = cap_buckets(
             bands_df, ["band", "band_key"], max_bucket,
@@ -479,18 +509,7 @@ def minhash_dedup_pairs(
         .join(b, "id_b")
         .withColumn(
             "est_jaccard",
-            F.round(
-                F.size(
-                    F.filter(
-                        F.zip_with(
-                            "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
-                        ),
-                        lambda z: z == 1,
-                    )
-                )
-                / F.lit(float(k)),
-                4,
-            ),
+            minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), k),
         )
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")

@@ -97,6 +97,7 @@ def extract(
     cfg: ExtractConfig = ExtractConfig(),
     salt_partitions: int = 0,
     languages: Optional[tuple[str, ...]] = None,
+    day_timer_acc=None,
 ) -> DataFrame:
     """pages -> one wide extracted row per document (EXTRACTED_SCHEMA).
 
@@ -116,6 +117,9 @@ def extract(
     ``page_start`` or ``page_end`` columns, they ride into the kernel and
     override the job-level ExtractConfig per document (the reference's
     per-request OCRConfig, ocr/main.py:104-131).
+
+    ``day_timer_acc``: optional dict accumulator (plans.commit) that
+    collects per-warc_day kernel milliseconds for lineage metrics.
     """
     per_row = [
         c
@@ -130,7 +134,8 @@ def extract(
         # near-perfectly even partitions regardless of domain skew.
         df = df.repartition(salt_partitions, F.xxhash64("url"))
     return df.mapInPandas(
-        functools.partial(kernel_iter, cfg=cfg), schema=EXTRACTED_SCHEMA
+        functools.partial(kernel_iter, cfg=cfg, day_acc=day_timer_acc),
+        schema=EXTRACTED_SCHEMA,
     )
 
 

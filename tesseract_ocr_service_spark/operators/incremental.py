@@ -1,0 +1,202 @@
+"""Incremental dedup against a persisted signature store.
+
+The operator a real 100-TB pipeline runs daily: dedup the NEW ingest
+partition (day N+1) against the historical corpus WITHOUT re-reading or
+re-shingling history. History is represented by a committed signature
+store — (id, fingerprint, sig) per historical *exact-survivor* — so the
+daily job's expensive stage (tokenize + shingle + K minhash aggregates)
+runs over the new day's text only; probing history costs 4 md5 calls
+per stored row (band keys recomputed from the stored signature,
+:func:`dedup.sig_band_rows`).
+
+Semantics: with monotone ids across increments (new ids > all stored
+ids — e.g. ids prefixed by ingest day), the kept set of
+
+    kept_1 = dedup_incremental(day1, store=None)
+    kept_2 = dedup_incremental(day2, store_after_day1)
+    ...
+
+equals ``dedup_corpus(day1 UNION day2 ...)`` exactly (tested equal,
+and the driver oracle reuses the full-corpus SQL):
+
+- exact phase: a new doc whose normalized-md5 fingerprint matches any
+  STORED fingerprint (or a smaller-id new doc) is dropped — same as
+  "min id per fingerprint group" when stored ids are smaller.
+- near phase: pairs are (stored exact-survivor) x (new exact-survivor)
+  via shared LSH band buckets plus new x new pairs, verified by the
+  same signature-agreement expression; the NEW side of every verified
+  cross pair is dropped — same as "drop the larger id" under monotone
+  ids. The store must hold ALL historical exact-survivors (near-dup
+  losers included): in the one-shot pipeline a new doc is dropped by a
+  pair with any exact-survivor, kept or not (dedup.dedup_corpus
+  enumerates pairs among exact-survivors).
+
+Scale shape: the store is never re-shingled, only scanned once for its
+fingerprint column (exact anti-join) and once for band rows; with a
+day increment << history, both probes broadcast the NEW side, so the
+historical store is never shuffled. The signature increment returned
+for appending is exactly the new exact-survivors' rows, keeping the
+store linear in corpus size.
+
+No reference analog (the service is stateless per request,
+ocr/main.py:151-175) — this extends the training-data suite the same
+way plans/commit.py extends its retry model to partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import textstats as T
+from . import dedup as D
+
+#: store columns (parquet, appended per increment)
+STORE_COLUMNS = ("id", "fingerprint", "sig")
+
+
+def signature_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """(id, fingerprint, sig) per document — the store row shape.
+    fingerprint is the exact-dedup normalized md5; sig the K-component
+    md5 minhash (both identical to the one-shot pipeline's). The
+    fingerprint branch is a second, cheap consumer of ``df`` (one md5
+    per doc — no tokenization); the shingle/minhash pass stays single."""
+    sigs = D.minhash_signatures_agg(df, id_col, text_col, k, n)
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        T.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+    )
+    return fps.join(sigs, "id")
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    store_sigs: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.7,
+    max_bucket: int | None = 5000,
+    broadcast_new: bool = True,
+    persist: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup ``new_docs`` against the historical ``store_sigs``
+    ((id, fingerprint, sig); None/empty = first increment, equivalent
+    to :func:`dedup.dedup_corpus`). Returns
+
+        (kept, sig_increment)
+
+    where ``kept`` is the surviving rows of ``new_docs`` and
+    ``sig_increment`` the signature rows of the new EXACT-survivors —
+    append these to the store before the next increment
+    (:func:`append_signatures`).
+
+    ``broadcast_new`` hints the day-increment side of the two store
+    probes as broadcast (True is the daily-job shape: increment <<
+    history, so history is never shuffled); set False when the
+    increment rivals the store and a shuffled join wins.
+
+    PRECONDITION: ids in ``new_docs`` must sort AFTER every stored id
+    (monotone ingest keys). The cross-pair drop rule always drops the
+    new side; with non-monotone ids that diverges from the one-shot
+    pipeline (which drops the larger id).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    sigtab = signature_table(new_docs, id_col, text_col, k, n)
+
+    # ---- exact phase -------------------------------------------------
+    # intra-increment: keep min id per fingerprint; cross: drop any
+    # fingerprint already stored (its keeper has a smaller, stored id).
+    rn = F.row_number().over(
+        Window.partitionBy("fingerprint").orderBy("id")
+    )
+    ex = sigtab.withColumn("_rn", rn).where(F.col("_rn") == 1).drop("_rn")
+    if store_sigs is not None:
+        ex = ex.join(
+            store_sigs.select("fingerprint"),
+            "fingerprint",
+            "left_anti",
+        )
+    # the exact-survivor signatures feed the banding, the verify join
+    # AND the returned increment — persist once (no ReusedExchange
+    # under AQE; same discipline as dedup_corpus). The cache lives
+    # until the caller is done with BOTH returned frames — unpersist
+    # the returned sig_increment after appending it to the store.
+    # persist=False skips the cache for tiny/oracle corpora where
+    # recomputation is cheaper than cache-block bookkeeping.
+    if persist:
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # ---- near phase: new x new ---------------------------------------
+    intra_losers = (
+        D.minhash_dedup_pairs(
+            new_docs, id_col, text_col, k, bands, n, threshold,
+            sigs=ex.select("id", "sig"), max_bucket=max_bucket,
+        )
+        .select(F.col("id_b").alias("_loser"))
+    )
+
+    # ---- near phase: store x new -------------------------------------
+    if store_sigs is not None:
+        bn = D.sig_band_rows(ex.select("id", "sig"), k, bands, carry=("sig",))
+        if broadcast_new:
+            bn = F.broadcast(bn)
+        bo = D.sig_band_rows(store_sigs.select("id", "sig"), k, bands, carry=("sig",))
+        cross = (
+            bo.alias("o")
+            .join(
+                bn.alias("nw"),
+                (F.col("o.band") == F.col("nw.band"))
+                & (F.col("o.band_key") == F.col("nw.band_key")),
+            )
+            .select(
+                F.col("nw.id").alias("id_b"),
+                F.col("o.sig").alias("sig_a"),
+                F.col("nw.sig").alias("sig_b"),
+                F.col("o.id").alias("id_a"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        cross_losers = (
+            cross.where(
+                D.minhash_est_jaccard(F.col("sig_a"), F.col("sig_b"), k)
+                >= threshold
+            )
+            .select(F.col("id_b").alias("_loser"))
+        )
+        losers = intra_losers.unionByName(cross_losers)
+    else:
+        losers = intra_losers
+    losers = losers.distinct()
+
+    kept = new_docs.join(
+        ex.select(F.col("id").alias("_keep")),
+        new_docs[id_col] == F.col("_keep"),
+        "left_semi",
+    ).join(
+        losers, new_docs[id_col] == losers["_loser"], "left_anti"
+    )
+    return kept, ex.select(*STORE_COLUMNS)
+
+
+def append_signatures(sig_increment: DataFrame, store_path: str) -> None:
+    """Append an increment's exact-survivor signatures to the parquet
+    store. Appends are partition-file-granular (new files only); pair
+    with plans/commit-style markers when the caller needs atomic
+    day-level commit."""
+    sig_increment.select(*STORE_COLUMNS).write.mode("append").parquet(
+        store_path
+    )
+
+
+def read_signature_store(spark: SparkSession, store_path: str) -> DataFrame:
+    return spark.read.parquet(store_path).select(*STORE_COLUMNS)

@@ -303,6 +303,26 @@ def dedup_corpus_kept(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def dedup_incremental_kept(spark, sf_dir):
+    """The daily-pipeline shape: corpus split at the median id into
+    'history' and 'new day'; history deduped first, its exact-survivor
+    signatures stored, the new day deduped against the STORE (no
+    history re-shingling — pinned by test_incremental's inputFiles
+    check). Oracle = the one-shot full-corpus dedup_corpus SQL: the
+    two must be EQUAL under monotone ids (operators/incremental.py)."""
+    from . import incremental as I
+
+    docs = _docs(spark, sf_dir)
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    k1, s1 = I.dedup_incremental(
+        docs.where(F.col("doc_id") <= mid), persist=False
+    )
+    k2, _ = I.dedup_incremental(
+        docs.where(F.col("doc_id") > mid), s1, persist=False
+    )
+    return k1.select("doc_id").unionByName(k2.select("doc_id"))
+
+
 def neardup_components(spark, sf_dir):
     """Near-dup CLUSTERS: connected components (iterative min-label
     propagation) over the minhash-LSH pair graph; oracle = DuckDB
@@ -977,6 +997,7 @@ SPARK_QUERIES = {
     "pdf_page_slice": P.pdf_page_slice,
     "pdf_spans_flat": P.pdf_spans_flat,
     "dedup_corpus_kept": dedup_corpus_kept,
+    "dedup_incremental_kept": dedup_incremental_kept,
     "neardup_components": neardup_components,
     "neardup_components_star": neardup_components_star,
     "repetition_stats": repetition_stats,
@@ -1001,6 +1022,9 @@ ORACLES = {
     "ann_cosine_topk": _sql_ann_brute(),
     "ann_lsh_topk": _sql_ann_lsh(),
     "dedup_corpus_kept": _sql_dedup_corpus_kept(),
+    # incremental == one-shot under monotone ids (tested invariant):
+    # the same full-corpus SQL verifies the incremental path
+    "dedup_incremental_kept": _sql_dedup_corpus_kept(),
     "neardup_components": _sql_neardup_components(),
     "neardup_components_star": _sql_neardup_components(),
     "repetition_stats": _sql_repetition(),

@@ -42,6 +42,22 @@ from ..config import ExtractConfig
 from ..operators import extract as X
 
 
+from pyspark.accumulators import AccumulatorParam
+
+
+class _DayMsParam(AccumulatorParam):
+    """AccumulatorParam merging {warc_day: milliseconds} dicts — the
+    executor-side collector behind lineage's per-day kernel_ms."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        for k, v in b.items():
+            a[k] = a.get(k, 0.0) + v
+        return a
+
+
 def _exists(spark: SparkSession, path: str) -> bool:
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
@@ -61,6 +77,9 @@ def committed_days(spark: SparkSession, out_root: str) -> set[str]:
 
 
 def attempt_numbers(spark: SparkSession, out_root: str) -> dict[str, int]:
+    """Driver-side {day: max attempt} — an introspection convenience;
+    run_checkpointed itself joins against the lineage table instead
+    (a collected dict is unbounded at real day cardinality)."""
     path = f"{out_root}/lineage"
     if not _exists(spark, path):
         return {}
@@ -117,7 +136,13 @@ def run_checkpointed(
     todo = pages.where(F.col("warc_day").isin(pending))
 
     # ---- step 2: process + dynamic-partition-overwrite the data ------
-    wide = X.extract(todo, cfg, salt_partitions=salt_partitions, languages=languages)
+    # per-day kernel wall collected executor-side (accumulator filled
+    # by kernel_iter during the write action below)
+    day_acc = spark.sparkContext.accumulator({}, _DayMsParam())
+    wide = X.extract(
+        todo, cfg, salt_partitions=salt_partitions, languages=languages,
+        day_timer_acc=day_acc,
+    )
     out = wide.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
     (
         out.write.mode("overwrite")
@@ -134,7 +159,6 @@ def run_checkpointed(
     # ---- step 3: append lineage rows LAST (the commit marker) --------
     # counters re-read from the just-written files: a cheap columnar
     # scan of the counter columns only (spans pages never touched).
-    attempts = attempt_numbers(spark, out_root)
     wall_ms = int((time.perf_counter() - t0) * 1000)
     # explicit schema: a run whose rows were ALL filtered writes no
     # parquet files, and schema inference on an empty dir throws.
@@ -170,25 +194,41 @@ def run_checkpointed(
             if c != "warc_day"
         ],
     )
+    # per-day kernel wall from the accumulator (filled by the write
+    # action above; empty when salting/AQE retries raced it — metrics,
+    # not a contract). kernel_ms attributes THIS day's extraction cost;
+    # wall_ms stays the whole-run wall for cross-checking overheads.
+    kern = spark.createDataFrame(
+        [(d, int(ms)) for d, ms in day_acc.value.items()] or
+        [(None, None)],
+        "warc_day string, kernel_ms bigint",
+    ).where(F.col("warc_day").isNotNull())
+    # prior attempt number via a JOIN against the lineage table — a
+    # create_map literal over all committed days grows unboundedly with
+    # run count at 10^12-scale day cardinality.
+    if _exists(spark, f"{out_root}/lineage"):
+        prev = (
+            spark.read.parquet(f"{out_root}/lineage")
+            .groupBy("warc_day")
+            .agg(F.max("attempt").alias("_prev_attempt"))
+        )
+    else:
+        prev = spark.createDataFrame(
+            [], "warc_day string, _prev_attempt int"
+        )
     lineage = (
         zero_filled
+        .join(kern, "warc_day", "left")
+        .join(prev, "warc_day", "left")
         .withColumn("wall_ms", F.lit(wall_ms))
         .withColumn(
-            "attempt",
-            F.coalesce(
-                F.create_map(
-                    *[
-                        F.lit(x)
-                        for kv in attempts.items()
-                        for x in kv
-                    ]
-                )[F.col("warc_day")]
-                if attempts
-                else F.lit(None).cast("int"),
-                F.lit(0),
-            )
-            + 1,
+            "kernel_ms",
+            F.coalesce(F.col("kernel_ms"), F.lit(0).cast("bigint")),
         )
+        .withColumn(
+            "attempt", F.coalesce(F.col("_prev_attempt"), F.lit(0)) + 1
+        )
+        .drop("_prev_attempt")
     )
     lineage.write.mode("append").parquet(f"{out_root}/lineage")
     n_docs = written.count()

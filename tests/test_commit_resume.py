@@ -90,6 +90,20 @@ def test_crash_before_marker_then_resume_is_idempotent(spark, paths):
     assert _texts(spark, out2) == texts
 
 
+def test_lineage_per_day_kernel_ms(spark, paths):
+    """Lineage carries a PER-DAY kernel wall (accumulator-attributed),
+    not just the whole-run wall copied onto every row: days with docs
+    get kernel_ms > 0, and the sum is bounded by run wall * cores."""
+    pages, out = paths
+    s = C.run_checkpointed(spark, pages, out)
+    lineage = C.read_lineage(spark, out)
+    rows = lineage.select("warc_day", "n_docs", "kernel_ms", "wall_ms").collect()
+    assert all(r["kernel_ms"] > 0 for r in rows if r["n_docs"] > 0)
+    # per-day values differ (not one broadcast constant)
+    assert len({r["kernel_ms"] for r in rows}) > 1
+    assert all(r["wall_ms"] == s.wall_ms for r in rows)
+
+
 def test_lineage_counters_consistent(spark, paths):
     pages, out = paths
     C.run_checkpointed(spark, pages, out)
