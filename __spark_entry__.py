@@ -80,6 +80,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_purchases_near_errors": R.range_join_purchases_near_errors,
         "daily_event_pivot": R.daily_event_pivot,
         "value_percentiles": R.value_percentiles,
+        # documented oracle exemption: approximate answers have no
+        # cross-engine hash (see value_percentiles_approx docstring);
+        # rows-only driver check + pytest tolerance vs the exact twin
+        "value_percentiles_approx": R.value_percentiles_approx,
         "domain_quota_sample": R.domain_quota_sample,
         "train_val_test_split": R.train_val_test_split,
     }

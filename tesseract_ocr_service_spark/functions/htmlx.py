@@ -7,9 +7,14 @@ same flat word-record table as the PDF path so the assembly contract
 (``functions.assembly``, transcribing ``ocr_processor.py:116-168``)
 applies uniformly to both payload kinds.
 
-No lxml/bs4 in this environment — the segmenter is regex-based over the
-non-nested block grammar the deterministic corpus generator emits, and
-degrades gracefully (keeps any block-tag match) on arbitrary HTML.
+No lxml/bs4 in this environment — the segmenter is a single-pass
+tag-scan with an outer-block-wins frame (see :func:`segment_blocks`):
+identical to the previous regex matcher on the well-formed non-nested
+grammar the corpus generator emits (the oracle-pinned contract), but
+it additionally recovers malformed real-web HTML — same-tag nested
+blocks keep their trailing content, unclosed blocks emit at EOF,
+stray close tags are ignored, and an unclosed <script>/<style> is
+stripped to EOF (the HTML5 rule) instead of leaking code as text.
 
 Rules (deterministic, part of the engine contract):
 - ``<script>``/``<style>``/comments are always removed.
@@ -35,11 +40,20 @@ _SCRIPT_RE = re.compile(
     r"<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->",
     re.IGNORECASE | re.DOTALL,
 )
-_BLOCK_RE = re.compile(
-    r"<(nav|header|footer|aside|h1|h2|h3|h4|h5|h6|p|li|div|td|blockquote)"
-    r"\b[^>]*>(.*?)</\1\s*>",
-    re.IGNORECASE | re.DOTALL,
+#: an UNCLOSED script/style swallows everything to EOF (the HTML5
+#: tokenizer rule) — applied after the paired pass so well-formed
+#: documents never hit it.
+_SCRIPT_OPEN_RE = re.compile(
+    r"<(?:script|style)\b[^>]*>.*$", re.IGNORECASE | re.DOTALL
 )
+_BLOCK_TAGS = frozenset(
+    "nav header footer aside h1 h2 h3 h4 h5 h6 p li div td blockquote".split()
+)
+#: every tag (block or not), open or close — the segmenter's one scan.
+#: the attribute region excludes BOTH angle brackets: a stray unescaped
+#: '<' in visible text (e.g. a literal "a<b") must not start a pseudo-
+#: tag that swallows the next real close tag.
+_TAG_SCAN_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)(?:[\s/][^<>]*)?>")
 _ANCHOR_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
 _TAG_RE = re.compile(r"<[^>]+>")
 _BOILER_TAGS = frozenset({"nav", "header", "footer", "aside"})
@@ -79,11 +93,58 @@ def _visible_tokens(inner_html: str) -> list[str]:
 
 
 def segment_blocks(html: str) -> list[tuple[str, str]]:
-    """-> [(tag_lower, inner_html)] in document order, noise stripped."""
+    """-> [(tag_lower, inner_html)] in document order, noise stripped.
+
+    Single pass over the tag stream with ONE open frame (outer block
+    wins — a nested block tag of a different name stays inside the
+    outer block's slice, so nested markup flattens into the parent's
+    token stream in document order rather than double-emitting).
+    Malformed-input rules, each degrading toward "keep the visible
+    text":
+
+    - same-name nesting tracks depth, so ``<div>a<div>b</div>c</div>``
+      yields one block ``a b c`` (the old regex matcher dropped ``c``);
+    - a block left open at EOF emits what it accumulated (the old
+      matcher dropped the whole block);
+    - a close tag with no matching open is ignored;
+    - a self-closed block tag (``<td/>``) emits an empty block, which
+      the classifier discards;
+    - inner html is a SLICE of the cleaned input (O(1) per block,
+      byte-exact — the assembly contract depends on exact token
+      bytes).
+    """
     cleaned = _SCRIPT_RE.sub(" ", html)
-    return [
-        (m.group(1).lower(), m.group(2)) for m in _BLOCK_RE.finditer(cleaned)
-    ]
+    # paired script/style gone; any opener still present is unclosed
+    cleaned = _SCRIPT_OPEN_RE.sub(" ", cleaned)
+    out: list[tuple[str, str]] = []
+    tag = ""  # open frame: tag name, slice start, same-name depth
+    start = depth = 0
+    open_frame = False
+    for m in _TAG_SCAN_RE.finditer(cleaned):
+        name = m.group(2).lower()
+        if name not in _BLOCK_TAGS:
+            continue
+        closing = m.group(1) == "/"
+        if not open_frame:
+            if not closing:
+                if m.group(0).endswith("/>"):
+                    out.append((name, ""))
+                else:
+                    tag, start, depth, open_frame = name, m.end(), 0, True
+            continue  # stray close: ignored
+        if name != tag:
+            continue  # different block tag inside the frame: markup
+        if closing:
+            if depth:
+                depth -= 1
+            else:
+                out.append((tag, cleaned[start : m.start()]))
+                open_frame = False
+        elif not m.group(0).endswith("/>"):
+            depth += 1
+    if open_frame:
+        out.append((tag, cleaned[start:]))
+    return out
 
 
 def classify_block(

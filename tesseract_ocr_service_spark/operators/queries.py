@@ -296,6 +296,24 @@ def embedding_neardups(spark, sf_dir):
     )
 
 
+def embedding_neardups_auto(spark, sf_dir):
+    """The same near-dup pairs through the AUTO index-sizing path:
+    n_planes='auto' resolves via auto_n_planes(count) at run time. The
+    oracle pins n_planes=8 because auto_n_planes(N) == 8 for every
+    N <= 8 * 2^8 = 2048 — true of all driver corpora (20 / 200 / 2000
+    vectors at sf0.001/0.01/0.1; asserted in
+    test_ann_recall_and_bucketing) — so a hash match proves the auto
+    path is oracle-exact, not just benched; the growing branch of the
+    sizing rule is measured in bench_scale's plane sweep."""
+    return S.embedding_neardup_pairs(
+        _emb(spark, sf_dir),
+        threshold=NEARDUP_T,
+        n_planes="auto",
+        bands=NEARDUP_BANDS,
+        dim=ANN_DIM,
+    )
+
+
 def dedup_corpus_kept(spark, sf_dir):
     """Composed exact+minhash-LSH dedup pipeline — surviving doc ids.
     The whole chain is md5-based, so DuckDB replays it end to end."""
@@ -759,15 +777,15 @@ def _sql_neardup_components(
     """
 
 
-def _sql_embedding_neardups() -> str:
+def _sql_embedding_neardups(n_planes: int = NEARDUP_PLANES) -> str:
     """DuckDB replay of the multi-band sign-LSH near-dup pairs."""
     planes = S.hyperplane_signs(
-        NEARDUP_BANDS * NEARDUP_PLANES, ANN_DIM, ANN_SEED
+        NEARDUP_BANDS * n_planes, ANN_DIM, ANN_SEED
     )
     band_rows = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band, "
         + _bucket_sql(
-            planes[b * NEARDUP_PLANES : (b + 1) * NEARDUP_PLANES],
+            planes[b * n_planes : (b + 1) * n_planes],
             "embedding::DOUBLE[]",
         )
         + " AS bucket FROM embeddings"
@@ -1002,6 +1020,7 @@ SPARK_QUERIES = {
     "neardup_components_star": neardup_components_star,
     "repetition_stats": repetition_stats,
     "embedding_neardups": embedding_neardups,
+    "embedding_neardups_auto": embedding_neardups_auto,
     "ann_ivf_topk": ann_ivf_topk,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_neardup_pairs": simhash_neardup_pairs,
@@ -1029,6 +1048,7 @@ ORACLES = {
     "neardup_components_star": _sql_neardup_components(),
     "repetition_stats": _sql_repetition(),
     "embedding_neardups": _sql_embedding_neardups(),
+    "embedding_neardups_auto": _sql_embedding_neardups(8),
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),
     "simhash_fingerprints": _sql_simhash_fingerprints(),
     "simhash_neardup_pairs": _sql_simhash_neardup_pairs(),

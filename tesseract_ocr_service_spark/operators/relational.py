@@ -364,11 +364,38 @@ def daily_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact percentiles (continuous interpolation) per group.
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (oracle-checked). Scale note: exact
+    percentile() buffers/sorts every group's values — correct default
+    only while groups fit an executor; the 10^12-row path is
+    :func:`value_percentiles_approx`."""
     ev = _t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )
+
+
+def value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for percentiles: approx_percentile aggregates a
+    bounded quantile sketch with map-side partial merge — no per-group
+    value buffering/sort, so group size no longer bounds executor
+    memory. accuracy=10000 -> rank error <= n_group/10000 (Spark's
+    documented bound). No SQL oracle (DuckDB's approx_quantile is a
+    different sketch; cross-engine hash equality is not defined for
+    approximate answers) — the driver records the rows/schema check,
+    and the pytest tolerance test pins approx-vs-exact agreement."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.expr("approx_percentile(value, 0.5, 10000)"), 4
+        ).alias("p50"),
+        F.round(
+            F.expr("approx_percentile(value, 0.9, 10000)"), 4
+        ).alias("p90"),
+        F.round(
+            F.expr("approx_percentile(value, 0.99, 10000)"), 4
+        ).alias("p99"),
     )
 
 

@@ -73,10 +73,14 @@ def start_incremental_extract(
     checkpoint: str,
     cfg: ExtractConfig = ExtractConfig(),
     available_now: bool = True,
+    max_files_per_trigger: Optional[int] = None,
 ):
     """Start (and return) the streaming query. With available_now=True it
-    drains the backlog and finishes (await with .awaitTermination())."""
-    pages = stream_pages(spark, landing_path)
+    drains the backlog and finishes (await with .awaitTermination()).
+    ``max_files_per_trigger`` bounds each micro-batch's input (backlog
+    catch-up in rate-limited epochs instead of one giant batch —
+    availableNow honors it, draining in multiple epochs)."""
+    pages = stream_pages(spark, landing_path, max_files_per_trigger)
     writer = pages.writeStream.foreachBatch(
         epoch_sink(out_root, cfg)
     ).option("checkpointLocation", checkpoint)

@@ -125,3 +125,16 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE bkt_a")
         spark.sql("DROP TABLE bkt_b")
+
+
+def test_auto_n_planes_resolves_to_oracle_constant_at_driver_scales():
+    """embedding_neardups_auto's oracle pins n_planes=8 on the claim
+    that auto_n_planes(N) == 8 for every N <= 8 * 2^8 — pin the claim
+    for the driver corpora sizes AND the boundary, and that the
+    growing branch actually grows past it."""
+    from tesseract_ocr_service_spark.operators import similarity as S
+
+    for n in (20, 200, 2000, 2048):
+        assert S.auto_n_planes(n) == 8, n
+    assert S.auto_n_planes(4096) == 9
+    assert S.auto_n_planes(20000) == 12

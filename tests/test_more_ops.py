@@ -245,3 +245,27 @@ def test_job_banner_fields(spark):
     assert b["conf"]["spark.sql.adaptive.enabled"] == "true"
     assert b["config"]["skew_threshold"] == 0.3
     assert b["lang_string"] == "rus+eng"
+
+
+def test_value_percentiles_approx_within_tolerance(spark):
+    """The approx (sketch) percentiles must track the exact ones:
+    at accuracy=10000 and driver-corpus group sizes the rank error
+    bound is << 1 value, so p50/p90 should agree to ~the value grid
+    and p99 within a small quantile neighborhood."""
+    from tesseract_ocr_service_spark.operators import relational as R
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["event_type"]: r
+        for r in R.value_percentiles(spark, sf).collect()
+    }
+    approx = {
+        r["event_type"]: r
+        for r in R.value_percentiles_approx(spark, sf).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    for et, e in exact.items():
+        a = approx[et]
+        for q in ("p50", "p90", "p99"):
+            scale = max(1.0, abs(e[q]))
+            assert abs(a[q] - e[q]) / scale < 0.05, (et, q, e[q], a[q])

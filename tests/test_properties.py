@@ -96,3 +96,83 @@ def test_confidence_matches_oracle(records):
     out = assembly.page_confidence(_df(records))
     got = float(out["confidence"].iloc[0]) if len(out) else 0.0
     assert abs(got - oracle.page_confidence(records)) < 1e-9
+
+
+# ---------------------------------------------------------- htmlx fuzz
+
+_GARBAGE = [
+    "</p>", "</div>", "</li>", "<di", "<p attr='x", "<br/>", "<td/>",
+    "<!-- closed -->", "&amp;&notreal;", ">>><<<", "a<b literal",
+    "<div>unclosed garbage words", "<span>loose</span>", "plain noise",
+    "<DIV>UPPER unclosed", "<blockquote>q words</blockquote",
+]
+#: constructs that LEGITIMATELY swallow what follows (HTML5): unclosed
+#: script/style strip to EOF, an unclosed comment comments out to the
+#: next -->, an unclosed boiler tag makes the rest nav/footer content
+_SUFFIX_ONLY = [
+    "<script>var x = 1;", "<style>.a{color:red", "<nav>menu",
+    "<!-- stray comment ",
+]
+
+
+def _fuzz_doc(rng, words):
+    """Garbage-wrapped well-formed region: prefix garbage avoids the
+    constructs that LEGITIMATELY swallow or drop what follows (unclosed
+    script/style strips to EOF per HTML5; an unclosed boiler tag makes
+    the rest nav/footer content, which the classifier drops by design —
+    suffix-only garbage exercises those)."""
+    pre = " ".join(rng.choice(_GARBAGE) for _ in range(rng.randrange(6)))
+    post = " ".join(
+        rng.choice(_GARBAGE + _SUFFIX_ONLY) for _ in range(rng.randrange(6))
+    )
+    tags = ["p", "div", "li", "h2", "blockquote"]
+    blocks = "".join(
+        f"<{t}>{' '.join(ws)}</{t}>"
+        for t, ws in (
+            (rng.choice(tags), words[i : i + 6])
+            for i in range(0, len(words), 6)
+        )
+        if ws
+    )
+    return f"{pre}{blocks}{post}"
+
+
+def test_malformed_html_never_crashes_or_drops_wellformed_text():
+    """Fuzz the segmenter with truncated/unclosed/stray/nested markup
+    around a well-formed region: extraction must not raise, and every
+    word of the well-formed blocks must survive into the kept tokens
+    (malformed surroundings may add noise tokens, never eat content)."""
+    import random
+
+    from tesseract_ocr_service_spark.config import ExtractConfig
+    from tesseract_ocr_service_spark.functions import htmlx as H
+
+    cfg = ExtractConfig()
+    rng = random.Random(42)
+    for trial in range(300):
+        # multiple of 6: every generated block then has 6 words, safely
+        # above min_block_words (a 2-word block is DROPPED by design)
+        words = [f"w{trial}x{j}" for j in range(6 * (1 + rng.randrange(4)))]
+        html = _fuzz_doc(rng, words)
+        kept_tokens: set[str] = set()
+        for tag, inner in H.segment_blocks(html):  # must not raise
+            keep, toks = H.classify_block(tag, inner, cfg)
+            if keep:
+                kept_tokens.update(toks)
+        missing = set(words) - kept_tokens
+        assert not missing, (trial, missing, html)
+
+
+def test_segmenter_recovers_same_tag_nesting_and_unclosed_blocks():
+    from tesseract_ocr_service_spark.functions import htmlx as H
+
+    # trailing content after same-tag nesting is kept (regex dropped it)
+    assert H.segment_blocks("<div>a<div>b</div>c</div>") == [
+        ("div", "a<div>b</div>c")
+    ]
+    # a block left open at EOF still emits its content
+    assert H.segment_blocks("<p>tail words here") == [("p", "tail words here")]
+    # unclosed script swallows to EOF (HTML5), never leaks code as text
+    assert H.segment_blocks("<p>ok</p><script>var x;<p>code</p>") == [
+        ("p", "ok")
+    ]

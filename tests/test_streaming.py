@@ -291,3 +291,34 @@ def test_windowed_lang_counts_with_watermark(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert exp.get(k) == v, (k, v, exp.get(k))
+
+
+@pytest.mark.slow
+def test_rate_limited_backlog_drains_in_multiple_isolated_epochs(
+    spark, tmp_path
+):
+    """maxFilesPerTrigger=1 over a multi-file backlog: availableNow must
+    drain in >= 2 micro-batch epochs (rate limiting honored), each
+    epoch's partition holding only its own files' rows, the union
+    exactly the corpus (per-epoch isolation + no loss/duplication)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    gen.write_pages(spark, landing, 60, seed=5, partitions=3)
+
+    q = ingest.start_incremental_extract(
+        spark, landing, out, ckpt, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    ext = spark.read.parquet(f"{out}/extracted")
+    epochs = [r["epoch_id"] for r in ext.select("epoch_id").distinct().collect()]
+    assert len(epochs) >= 2, epochs
+    # no row is in two epochs; the union is the whole corpus exactly
+    assert ext.count() == 60
+    assert ext.select("url").distinct().count() == 60
+    per_epoch = {
+        r["epoch_id"]: r["n"]
+        for r in ext.groupBy("epoch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(per_epoch.values()) == 60
+    assert all(n > 0 for n in per_epoch.values())
