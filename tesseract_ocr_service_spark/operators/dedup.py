@@ -305,6 +305,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination signal: for every corpus document, the
+    count of DISTINCT word n-grams it shares with the benchmark/eval
+    set (the standard training-data hygiene pass — published corpora
+    drop documents overlapping eval benchmarks by long-n-gram
+    collision). -> (id, n_hits), n_hits = 0 for clean docs.
+
+    Scale shape: the benchmark side reduces to a distinct-shingle set
+    and is BROADCAST (eval suites are ~10^5-10^6 docs against a 10^12
+    corpus — the asymmetry is the point); the corpus-side shingle pass
+    is the same codegen'd explode+lead shape as dedup, and the per-id
+    hit count groups on the id-partitioning shingle_rows already
+    produced, so the corpus is never shuffled by this operator."""
+    sc = shingle_rows(corpus, id_col, text_col, n, distinct=True)
+    sb = (
+        shingle_rows(benchmark, id_col, text_col, n, distinct=True)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sc.join(F.broadcast(sb), "shingle")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop corpus documents sharing >= ``min_hits`` distinct n-grams
+    with the benchmark set; returns the surviving corpus rows."""
+    bad = contamination_hits(corpus, benchmark, id_col, text_col, n).where(
+        F.col("n_hits") >= min_hits
+    )
+    return corpus.join(
+        bad, corpus[id_col] == bad["id"], "left_anti"
+    )
+
+
 # ------------------------------------------------------------ minhash
 
 

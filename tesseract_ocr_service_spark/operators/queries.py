@@ -280,6 +280,53 @@ def simhash_neardup_pairs(spark, sf_dir):
     )
 
 
+DECONTAM_N = 8
+DECONTAM_MOD = 17  # doc_id % 17 == 0 -> the synthetic "eval benchmark"
+
+
+def contamination_ngrams(spark, sf_dir):
+    """Benchmark decontamination: the corpus (doc_id % 17 != 0) scored
+    against a synthetic eval set (doc_id % 17 == 0) by shared distinct
+    8-grams. Planted near-dup clusters make the signal non-trivial —
+    corpus docs that are templates/dups of eval docs light up."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % DECONTAM_MOD != 0)
+    bench = docs.where(F.col("doc_id") % DECONTAM_MOD == 0)
+    return D.contamination_hits(
+        corpus, bench, n=DECONTAM_N
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_contamination_ngrams() -> str:
+    """DuckDB replay: distinct-8-gram intersection counts, corpus vs
+    the %17 eval subset."""
+    return f"""
+        WITH nc AS (
+            SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+            WHERE doc_id % {DECONTAM_MOD} <> 0
+        ),
+        nb AS (
+            SELECT doc_id, {_TOKS_NORM} AS toks FROM documents
+            WHERE doc_id % {DECONTAM_MOD} = 0
+        ),
+        shc AS (
+            SELECT doc_id, unnest({_shingle_expr(DECONTAM_N)}) AS shingle
+            FROM nc
+        ),
+        shb AS (
+            SELECT DISTINCT unnest({_shingle_expr(DECONTAM_N)}) AS shingle
+            FROM nb
+        ),
+        hits AS (
+            SELECT c.doc_id, count(*) AS n_hits
+            FROM shc c JOIN shb b USING (shingle) GROUP BY c.doc_id
+        )
+        SELECT nc.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+        FROM nc LEFT JOIN hits h USING (doc_id)
+    """
+
+
 NEARDUP_T = 0.3
 NEARDUP_PLANES = 6
 NEARDUP_BANDS = 4
@@ -456,14 +503,22 @@ def _shingle_ctes(src: str = "documents", n: int = 3) -> str:
     return f"""
 norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM {src}),
 shingled AS (
-    SELECT doc_id, list_distinct(
-        CASE WHEN len(toks) >= {n}
-             THEN [array_to_string(toks[i:i+{n - 1}], ' ')
-                   for i in generate_series(1, len(toks) - {n - 1})]
-             ELSE [coalesce(array_to_string(toks, ' '), '')] END) AS sh
+    SELECT doc_id, {_shingle_expr(n)} AS sh
     FROM norm
 )
 """
+
+
+def _shingle_expr(n: int) -> str:
+    """Distinct word n-gram shingle LIST over a ``toks`` column —
+    the expression inside _shingle_ctes, reusable where two
+    differently-filtered shingle sources share one query
+    (decontamination)."""
+    return f"""list_distinct(
+        CASE WHEN len(toks) >= {n}
+             THEN [array_to_string(toks[i:i+{n - 1}], ' ')
+                   for i in generate_series(1, len(toks) - {n - 1})]
+             ELSE [coalesce(array_to_string(toks, ' '), '')] END)"""
 
 
 _SHINGLES = _shingle_ctes("documents")
@@ -1016,6 +1071,7 @@ SPARK_QUERIES = {
     "pdf_spans_flat": P.pdf_spans_flat,
     "dedup_corpus_kept": dedup_corpus_kept,
     "dedup_incremental_kept": dedup_incremental_kept,
+    "contamination_ngrams": contamination_ngrams,
     "neardup_components": neardup_components,
     "neardup_components_star": neardup_components_star,
     "repetition_stats": repetition_stats,
@@ -1044,6 +1100,7 @@ ORACLES = {
     # incremental == one-shot under monotone ids (tested invariant):
     # the same full-corpus SQL verifies the incremental path
     "dedup_incremental_kept": _sql_dedup_corpus_kept(),
+    "contamination_ngrams": _sql_contamination_ngrams(),
     "neardup_components": _sql_neardup_components(),
     "neardup_components_star": _sql_neardup_components(),
     "repetition_stats": _sql_repetition(),

@@ -357,3 +357,45 @@ def test_scaled_corpus_generator_is_partitioning_independent(spark, tmp_path):
         .count()
     )
     assert dups >= 1
+
+
+def test_contamination_hits_and_decontaminate(spark):
+    """Corpus docs sharing >= n-gram overlap with the benchmark set are
+    flagged and dropped; clean docs score 0 and survive."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares the full 8-gram window with the benchmark doc
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "completely unrelated words about spark catalyst plans"),
+            # shares words but no 8-gram run
+            (3, "the quick brown cat sleeps under the busy dog tonight"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {
+        r["id"]: r["n_hits"]
+        for r in D.contamination_hits(corpus, bench, n=8).collect()
+    }
+    assert hits[1] > 0 and hits[2] == 0 and hits[3] == 0, hits
+    kept = sorted(
+        r["doc_id"] for r in D.decontaminate(corpus, bench, n=8).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    """The eval set must broadcast (corpus never shuffled by the
+    probe): the plan joins corpus shingles to a broadcast benchmark."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from pyspark.sql import functions as F2
+
+    out = D.contamination_hits(
+        docs.where(F2.col("doc_id") % 17 != 0),
+        docs.where(F2.col("doc_id") % 17 == 0),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
