@@ -55,6 +55,23 @@ def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: real extraction kernel -> C4-style corpus
+    line dedup (drop every line occurring >= 2 times across the
+    corpus) -> reassembled per-doc text + counters. Exercises
+    dedup.dedup_paragraphs over KERNEL output, oracle-replayed end to
+    end (canonical flow-lines + window occurrence count in SQL)."""
+    from tesseract_ocr_service_spark.operators import bridge
+    from tesseract_ocr_service_spark.operators import dedup as D
+
+    wide = bridge.extract_documents(spark, sf_dir).select(
+        "doc_id", "canonical_text"
+    )
+    return D.dedup_paragraphs(
+        wide, "doc_id", "canonical_text", sep="\n", min_df=2
+    ).withColumnRenamed("id", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_ocr_service_spark.operators import queries as Q
     from tesseract_ocr_service_spark.operators import relational as R
@@ -62,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         **Q.SPARK_QUERIES,
         "extract_canonical_text": _q_extract,
+        "line_dedup_canonical": _q_line_dedup,
         "assembly_relational": R.assembly_relational,
         "confidence_mean": R.confidence_mean,
         "bbox_rollup": R.bbox_rollup,
@@ -117,6 +135,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(a.total, 0) >= 3 THEN a.total
                         ELSE 0 END AS BIGINT) AS n_words
             FROM documents d LEFT JOIN assembled a USING (doc_id)
+        """,
+        # extraction -> C4-style line dedup: canonical flow-lines per
+        # doc (12-token windows, same construction as above), one ''
+        # line for docs below the 3-word boilerplate floor, then drop
+        # every line with corpus occurrence >= 2 and reassemble.
+        "line_dedup_canonical": f"""
+            WITH {_TOKS},
+            lines0 AS (
+                SELECT doc_id, (rn - 1) // 12 AS line_no,
+                       string_agg(tok, ' ' ORDER BY rn) AS line_text,
+                       count(*) AS n
+                FROM toks GROUP BY doc_id, (rn - 1) // 12
+            ),
+            assembled AS (
+                SELECT doc_id, sum(n) AS total FROM lines0 GROUP BY doc_id
+            ),
+            canon_lines AS (
+                SELECT l.doc_id, l.line_no AS pos, l.line_text AS line
+                FROM lines0 l JOIN assembled a USING (doc_id)
+                WHERE a.total >= 3
+                UNION ALL
+                SELECT d.doc_id, 0 AS pos, '' AS line
+                FROM documents d LEFT JOIN assembled a USING (doc_id)
+                WHERE coalesce(a.total, 0) < 3
+            ),
+            occ AS (
+                SELECT doc_id, pos, line,
+                       count(*) OVER (PARTITION BY line) AS oc
+                FROM canon_lines
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN oc < 2 THEN line END,
+                                       chr(10) ORDER BY pos), '')
+                       AS text_dedup,
+                   CAST(count(CASE WHEN oc < 2 THEN 1 END) AS BIGINT)
+                       AS n_lines_kept,
+                   CAST(count(CASE WHEN oc >= 2 THEN 1 END) AS BIGINT)
+                       AS n_lines_dropped
+            FROM occ GROUP BY doc_id
         """,
         "assembly_relational": f"""
             WITH {_TOKS},

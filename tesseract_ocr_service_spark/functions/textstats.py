@@ -197,3 +197,29 @@ def simhash64(col: Column) -> Column:
     for b in range(64):
         out = out + F.shiftleft(bit(b), b)
     return F.when(n > 0, out).otherwise(F.lit(0).cast("bigint"))
+
+
+# ------------------------------------------------------------- PII scrub
+
+#: cross-engine-safe patterns (valid and identical in Java regex and
+#: RE2/DuckDB — no backrefs, no lookaround): conservative by design,
+#: favoring precision. Order matters: emails first (their user part
+#: can contain digits a later pass would chew), then IPv4, then
+#: phone-like digit runs (which would otherwise eat IP octets).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d() -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Redact emails / IPv4 addresses / phone-like digit runs with
+    typed placeholder tokens — the corpus-hygiene scrub a training
+    pipeline runs before publication. Pure chained regexp_replace
+    (JVM-side, codegen; zero Python), identically executable in
+    DuckDB's RE2 for the oracle."""
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -305,6 +305,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-level line/paragraph dedup (the C4-style pass published
+    training corpora run after document dedup): split each document on
+    ``sep``, drop EVERY occurrence of a segment that occurs >=
+    ``min_df`` times across the corpus (boilerplate lines, repeated
+    navigation, licence blocks), and reassemble the survivors in
+    original order. -> (id, text_dedup, n_lines_kept, n_lines_dropped);
+    documents whose every line is dropped stay present with ''.
+
+    Plan shape: explode is narrow; the corpus-wide occurrence count is
+    ONE window over the line (the unavoidable global-frequency shuffle
+    of any line-dedup), and the reassembly groupBy(id) is the second —
+    no join of the line table back to itself, no second scan of the
+    source. collect_list skips the NULL entries the keep-filter
+    produces, so counting and reassembly ride one aggregation."""
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "line"),
+    )
+    occ = lines.withColumn(
+        "_occ", F.count("*").over(Window.partitionBy("line"))
+    )
+    keep = F.col("_occ") < min_df
+    agg = occ.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "line")))
+        ).alias("_keep"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(
+            "n_lines_kept"
+        ),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("bigint").alias(
+            "n_lines_dropped"
+        ),
+    )
+    return agg.select(
+        "id",
+        F.array_join(
+            F.transform("_keep", lambda s: s["line"]), sep
+        ).alias("text_dedup"),
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -324,7 +376,11 @@ def contamination_hits(
     is the same codegen'd explode+lead shape as dedup, and the per-id
     hit count groups on the id-partitioning shingle_rows already
     produced, so the corpus is never shuffled by this operator."""
-    sc = shingle_rows(corpus, id_col, text_col, n, distinct=True)
+    # distinct=False skips a corpus-wide (id, shingle) dedup shuffle:
+    # the per-id DISTINCT matched-shingle count in the aggregation
+    # gives the same number, and the groupBy reuses shingle_rows' id
+    # partitioning (no extra exchange on the corpus side).
+    sc = shingle_rows(corpus, id_col, text_col, n, distinct=False)
     sb = (
         shingle_rows(benchmark, id_col, text_col, n, distinct=True)
         .select("shingle")
@@ -333,7 +389,7 @@ def contamination_hits(
     hits = (
         sc.join(F.broadcast(sb), "shingle")
         .groupBy("id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("shingle").alias("n_hits"))
     )
     return (
         corpus.select(F.col(id_col).alias("id"))

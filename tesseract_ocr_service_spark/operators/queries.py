@@ -280,6 +280,47 @@ def simhash_neardup_pairs(spark, sf_dir):
     )
 
 
+def pii_redaction(spark, sf_dir):
+    """Corpus-hygiene PII scrub: every doc gets deterministic planted
+    PII (email/IP/phone derived from doc_id — the synthetic corpus has
+    none of its own, and an identity transform would prove nothing),
+    then textstats.redact_pii replaces each with a typed placeholder.
+    Chained JVM regexp_replace; DuckDB replays the identical plant +
+    RE2-compatible patterns."""
+    docs = _docs(spark, sf_dir)
+    planted = F.concat_ws(
+        " ",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+        F.concat(
+            F.lit("ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17"),
+        ),
+        F.concat(
+            F.lit("tel +1 555 000 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return docs.select(
+        "doc_id", T.redact_pii(planted).alias("text_redacted")
+    )
+
+
+def _sql_pii_redaction() -> str:
+    reps = "concat_ws(' ', coalesce(text, ''), " \
+        "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com', " \
+        "'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17', " \
+        "'tel +1 555 000 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    for pat, repl in T.PII_PATTERNS:
+        reps = f"regexp_replace({reps}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id, {reps} AS text_redacted FROM documents"
+
+
 DECONTAM_N = 8
 DECONTAM_MOD = 17  # doc_id % 17 == 0 -> the synthetic "eval benchmark"
 
@@ -1072,6 +1113,7 @@ SPARK_QUERIES = {
     "dedup_corpus_kept": dedup_corpus_kept,
     "dedup_incremental_kept": dedup_incremental_kept,
     "contamination_ngrams": contamination_ngrams,
+    "pii_redaction": pii_redaction,
     "neardup_components": neardup_components,
     "neardup_components_star": neardup_components_star,
     "repetition_stats": repetition_stats,
@@ -1101,6 +1143,7 @@ ORACLES = {
     # the same full-corpus SQL verifies the incremental path
     "dedup_incremental_kept": _sql_dedup_corpus_kept(),
     "contamination_ngrams": _sql_contamination_ngrams(),
+    "pii_redaction": _sql_pii_redaction(),
     "neardup_components": _sql_neardup_components(),
     "neardup_components_star": _sql_neardup_components(),
     "repetition_stats": _sql_repetition(),

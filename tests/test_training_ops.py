@@ -399,3 +399,47 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_paragraphs_c4_rule(spark):
+    """Lines occurring >= min_df times across the corpus are dropped
+    from EVERY document; survivors reassemble in original order;
+    all-dropped docs stay present with ''."""
+    rows = [
+        (1, "unique alpha line\nCOMMON FOOTER\nunique beta line"),
+        (2, "COMMON FOOTER\nonly in doc two"),
+        (3, "COMMON FOOTER"),
+        (4, ""),
+        (5, ""),  # '' occurs twice -> dropped from both
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in D.dedup_paragraphs(df, min_df=2).collect()
+    }
+    assert out[1]["text_dedup"] == "unique alpha line\nunique beta line"
+    assert (out[1]["n_lines_kept"], out[1]["n_lines_dropped"]) == (2, 1)
+    assert out[2]["text_dedup"] == "only in doc two"
+    assert out[3]["text_dedup"] == "" and out[3]["n_lines_dropped"] == 1
+    assert out[4]["text_dedup"] == "" and out[4]["n_lines_kept"] == 0
+    assert set(out) == {1, 2, 3, 4, 5}  # no doc vanishes
+
+
+def test_redact_pii_patterns(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.10.254 port 8080"),
+        (3, "call +1 (415) 555-0100 today"),
+        (4, "clean text with number 42 and v1.2 nothing to redact"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["red"]
+        for r in df.select(
+            "doc_id", T.redact_pii(F.col("text")).alias("red")
+        ).collect()
+    }
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server at <IP> port 8080"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == rows[3][1]  # untouched
