@@ -132,3 +132,21 @@ def test_top_tokens_has_no_global_window(spark):
     plan = _plan(df)
     assert "Window" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_dedup_paragraphs_two_exchanges_one_scan(spark):
+    """Line dedup = ONE global line-frequency window + ONE reassembly
+    groupBy over a single source scan — no self-join, no second scan."""
+    from tesseract_ocr_service_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(D.dedup_paragraphs(docs))
+    assert plan.count("Exchange") == 2, plan
+    assert (
+        sum(
+            1
+            for line in plan.splitlines()
+            if "Scan parquet" in line and "documents.parquet" in line
+        )
+        == 1
+    )
