@@ -165,6 +165,24 @@ def _deep_tier(spark, D, docs, n: int) -> dict:
         lambda: D.simhash_pairs_multi_index(docs, max_hamming=3),
         max_attempts=2,
     )
+    # incremental dedup at the deep tier: 450k-doc history's store
+    # (built once, cached on disk), daily job = last 50k against it
+    from tesseract_ocr_service_spark.operators import incremental as I
+
+    cut = int(n * 0.9)
+    store_dir = f"{BASE}/n{n}_s{SEED}/sigstore_c{cut}"
+    if not os.path.exists(f"{store_dir}/_SUCCESS"):
+        _, s1 = I.dedup_incremental(
+            docs.where(F.col("doc_id") < cut), persist=False
+        )
+        s1.write.mode("overwrite").parquet(store_dir)
+    store = I.read_signature_store(docs.sparkSession, store_dir)
+    wi, ki = _timed(
+        lambda: I.dedup_incremental(
+            docs.where(F.col("doc_id") >= cut), store
+        )[0],
+        max_attempts=2,
+    )
     return {
         "n_docs": n,
         "minhash_lsh": {
@@ -175,6 +193,12 @@ def _deep_tier(spark, D, docs, n: int) -> dict:
             "verified_pairs": nv,
         },
         "dedup_corpus": {"wall": w, "kept": kept, "dropped": n - kept},
+        "dedup_incremental": {
+            "wall": wi,
+            "kept_newday": ki,
+            "newday_docs": n - cut,
+            "wall_full_corpus": w,
+        },
         "ngram_shingle_df": ngram_tel,
         "simhash_cand_pairs": simhash_cand,
         "simhash_multi_index": {

@@ -13,6 +13,7 @@ Python hop per row would dominate.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -223,3 +224,22 @@ def redact_pii(col: Column) -> Column:
     for pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def nfc(col: Column) -> Column:
+    """Unicode NFC normalization — the canonicalization pass a training
+    corpus runs before fingerprinting (decomposed accents, compatibility
+    variants from different crawls hash differently without it). Spark
+    SQL has no normalization builtin, so this is the ONE sanctioned
+    Python escape hatch: an Arrow-batched pandas UDF (never a row
+    UDF). Oracle: DuckDB's nfc_normalize agrees with Python's
+    unicodedata byte-for-byte on composed output."""
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return _nfc(col)

@@ -321,6 +321,41 @@ def _sql_pii_redaction() -> str:
     return f"SELECT doc_id, {reps} AS text_redacted FROM documents"
 
 
+def unicode_nfc(spark, sf_dir):
+    """NFC canonicalization over planted DECOMPOSED text (each doc gets
+    ' cafe'+COMBINING-ACUTE+doc_id appended — the corpus's own literals
+    are already composed, so an identity pass would prove nothing).
+    Output also carries the md5 of the normalized text: the fingerprint
+    divergence NFC exists to prevent."""
+    docs = _docs(spark, sf_dir)
+    planted = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        # DECOMPOSED: e + U+0301 combining acute - NFC must compose
+        F.lit(" cafe\u0301 "),
+        F.col("doc_id").cast("string"),
+    )
+    normed = T.nfc(planted)
+    return docs.select(
+        "doc_id",
+        normed.alias("text_nfc"),
+        F.md5(F.encode(normed, "utf-8")).alias("nfc_md5"),
+    )
+
+
+def _sql_unicode_nfc() -> str:
+    return """
+        SELECT doc_id,
+               nfc_normalize(coalesce(text, '') || ' cafe' || chr(769)
+                             || ' ' || CAST(doc_id AS VARCHAR))
+                   AS text_nfc,
+               md5(nfc_normalize(coalesce(text, '') || ' cafe'
+                                 || chr(769) || ' '
+                                 || CAST(doc_id AS VARCHAR)))
+                   AS nfc_md5
+        FROM documents
+    """
+
+
 DECONTAM_N = 8
 DECONTAM_MOD = 17  # doc_id % 17 == 0 -> the synthetic "eval benchmark"
 
@@ -1114,6 +1149,7 @@ SPARK_QUERIES = {
     "dedup_incremental_kept": dedup_incremental_kept,
     "contamination_ngrams": contamination_ngrams,
     "pii_redaction": pii_redaction,
+    "unicode_nfc": unicode_nfc,
     "neardup_components": neardup_components,
     "neardup_components_star": neardup_components_star,
     "repetition_stats": repetition_stats,
@@ -1144,6 +1180,7 @@ ORACLES = {
     "dedup_incremental_kept": _sql_dedup_corpus_kept(),
     "contamination_ngrams": _sql_contamination_ngrams(),
     "pii_redaction": _sql_pii_redaction(),
+    "unicode_nfc": _sql_unicode_nfc(),
     "neardup_components": _sql_neardup_components(),
     "neardup_components_star": _sql_neardup_components(),
     "repetition_stats": _sql_repetition(),

@@ -119,3 +119,34 @@ def test_cross_day_near_dup_is_dropped(spark):
     assert _ids(s1, "id") == [1, 2]  # exact-survivors incl. near-loser
     k2, _ = I.dedup_incremental(d2, s1, persist=False)
     assert _ids(k2) == [12]
+
+
+def test_incremental_empty_new_day(spark, halves):
+    """A day with zero rows keeps nothing, drops nothing, appends an
+    empty signature increment — the pipeline must not crash on a quiet
+    day."""
+    _, d1, _ = halves
+    _, s1 = I.dedup_incremental(d1, persist=False)
+    empty = d1.where(F.lit(False))
+    kept, inc = I.dedup_incremental(empty, s1, persist=False)
+    assert kept.count() == 0 and inc.count() == 0
+
+
+def test_incremental_disjoint_day_keeps_everything(spark):
+    """A new day with no exact or near dups against history survives
+    intact and its whole signature set is appended."""
+    d1 = spark.createDataFrame(
+        [(1, "history words about extraction kernels and arrow batches")],
+        ["doc_id", "text"],
+    )
+    d2 = spark.createDataFrame(
+        [
+            (10, "entirely fresh content concerning parquet bucketing"),
+            (11, "another novel document on shuffle partition sizing"),
+        ],
+        ["doc_id", "text"],
+    )
+    _, s1 = I.dedup_incremental(d1, persist=False)
+    kept, inc = I.dedup_incremental(d2, s1, persist=False)
+    assert _ids(kept) == [10, 11]
+    assert _ids(inc, "id") == [10, 11]

@@ -443,3 +443,16 @@ def test_redact_pii_patterns(spark):
     assert out[2] == "server at <IP> port 8080"
     assert out[3] == "call <PHONE> today"
     assert out[4] == rows[3][1]  # untouched
+
+
+def test_nfc_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301 nai\u0308ve"), (2, "plain"), (3, None)],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", T.nfc(F.col("text")).alias("n")).collect()
+    }
+    assert out[1] == "caf\u00e9 na\u00efve"  # composed forms
+    assert out[2] == "plain" and out[3] is None
