@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": R.value_percentiles_approx,
         "domain_quota_sample": R.domain_quota_sample,
         "train_val_test_split": R.train_val_test_split,
+        "pack_sequences": R.pack_sequences,
     }
 
 
@@ -396,6 +397,28 @@ def oracle_sql() -> dict[str, str]:
                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                            ::INT % 100 AS b
                 FROM documents
+            )
+        """,
+        # sequence packing: next-fit token-budget bins per hash shard
+        # (window PARTITIONED by shard — packing parallelizes by shard,
+        # never a global sort)
+        "pack_sequences": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '')) AS n_tok,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                           ::INT % 8 AS shard
+                FROM documents
+            )
+            SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tok,
+                   CAST(floor((cum - n_tok) / 512) AS INT) AS pack_id
+            FROM (
+                SELECT doc_id, shard, n_tok,
+                       sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum
+                FROM base
             )
         """,
         "top_customers_by_region": """

@@ -459,3 +459,49 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# --- training-data op: sequence packing — group documents into fixed
+# token budgets (the batch-construction step before tokenizer sharding:
+# each pack becomes one ~seq_len training sequence). Next-fit by
+# cumulative token count within a SHARD: the window is partitioned by a
+# deterministic hash shard, never global — each shard packs its own
+# docs independently (exactly how a real pipeline parallelizes packing)
+# and pack ids are (shard, bin) pairs, reproducible run to run.
+def pack_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    seq_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    from ..functions import textstats as T
+
+    docs = _t(spark, sf_dir, "documents")
+    # coalesce: NULL text must count 0 tokens in both engines
+    n_tok = T.token_count(F.coalesce(F.col("text"), F.lit(""))).cast(
+        "bigint"
+    )
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int"),
+        F.lit(n_shards),
+    ).cast("int")
+    base = docs.select(
+        "doc_id", n_tok.alias("n_tok"), shard.alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # a doc starts in the bin its PRECEDING cumulative count fills:
+    # next-fit semantics, deterministic, engine-agnostic
+    return base.withColumn("_cum", F.sum("n_tok").over(w)).select(
+        "doc_id",
+        "shard",
+        "n_tok",
+        F.floor((F.col("_cum") - F.col("n_tok")) / seq_len)
+        .cast("int")
+        .alias("pack_id"),
+    )

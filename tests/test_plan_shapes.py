@@ -150,3 +150,12 @@ def test_dedup_paragraphs_two_exchanges_one_scan(spark):
         )
         == 1
     )
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """Sequence packing must never plan a GLOBAL window (a corpus-wide
+    single-task sort): the cumulative-token window partitions by the
+    hash shard."""
+    plan = _plan(R.pack_sequences(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    assert "No Partition Defined" not in plan, plan
