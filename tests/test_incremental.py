@@ -150,3 +150,43 @@ def test_incremental_disjoint_day_keeps_everything(spark):
     kept, inc = I.dedup_incremental(d2, s1, persist=False)
     assert _ids(kept) == [10, 11]
     assert _ids(inc, "id") == [10, 11]
+
+
+def test_dedup_daily_job_cli(spark, tmp_path, capsys):
+    """jobs/dedup_daily.py end to end over two days in one process:
+    day 1 bootstraps the store, day 2 dedups against it; the union of
+    kept outputs equals the one-shot pipeline."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import jobs.dedup_daily as J
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    d1p, d2p = str(tmp_path / "day1"), str(tmp_path / "day2")
+    docs.where(F.col("doc_id") <= mid).write.parquet(d1p)
+    docs.where(F.col("doc_id") > mid).write.parquet(d2p)
+    store = str(tmp_path / "store")
+    outs = []
+    for i, dp in enumerate((d1p, d2p), 1):
+        out = str(tmp_path / f"kept{i}")
+        assert J.main(["--docs", dp, "--store", store, "--out", out]) == 0
+        outs.append(out)
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.splitlines()
+        if l.startswith("{")
+    ]
+    assert lines[0]["had_history"] is False
+    assert lines[1]["had_history"] is True
+    # the metric must be computed BEFORE the store append: a post-
+    # append re-evaluation anti-joins the increment against its own
+    # fresh signatures and reports 0 (regression guard)
+    assert lines[1]["n_sig_appended"] > 0
+    got = sorted(
+        r["doc_id"]
+        for o in outs
+        for r in spark.read.parquet(o).select("doc_id").collect()
+    )
+    assert got == _ids(D.dedup_corpus(docs))
