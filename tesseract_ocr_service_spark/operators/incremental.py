@@ -192,7 +192,14 @@ def append_signatures(sig_increment: DataFrame, store_path: str) -> None:
     """Append an increment's exact-survivor signatures to the parquet
     store. Appends are partition-file-granular (new files only); pair
     with plans/commit-style markers when the caller needs atomic
-    day-level commit."""
+    day-level commit.
+
+    CAUTION (lazy-read-after-write): writing to ``store_path``
+    invalidates any cached plan that READS that path — a caller that
+    re-evaluates ``sig_increment`` (or ``kept``) AFTER this append
+    sees the store including its own fresh rows and anti-joins itself
+    empty. Take counts/actions you need BEFORE appending
+    (jobs/dedup_daily.py shows the order)."""
     sig_increment.select(*STORE_COLUMNS).write.mode("append").parquet(
         store_path
     )
