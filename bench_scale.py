@@ -95,6 +95,36 @@ def _pair_sum(grouped, n_col: str):
     )
 
 
+def _incremental_probe(spark, docs, n: int, full_wall: float) -> dict:
+    """Incremental-dedup measurement shared by the 1x/10x and deep
+    tiers: history = first 90% of ids (store built once, persisted to
+    parquet — the one-time cost a real pipeline amortizes), timed job
+    = last 10% against the STORE. persist=False everywhere: a timed
+    probe must not leak MEMORY_AND_DISK blocks into later tiers'
+    measurements (nothing here could unpersist the returned frame)."""
+    from tesseract_ocr_service_spark.operators import incremental as I
+
+    cut = int(n * 0.9)
+    store_dir = f"{BASE}/n{n}_s{SEED}/sigstore_c{cut}"
+    if not os.path.exists(f"{store_dir}/_SUCCESS"):
+        _, s1 = I.dedup_incremental(
+            docs.where(F.col("doc_id") < cut), persist=False
+        )
+        s1.write.mode("overwrite").parquet(store_dir)
+    store = I.read_signature_store(spark, store_dir)
+    newday = docs.where(F.col("doc_id") >= cut)
+    wi, ki = _timed(
+        lambda: I.dedup_incremental(newday, store, persist=False)[0],
+        max_attempts=2,
+    )
+    return {
+        "wall": wi,
+        "kept_newday": ki,
+        "newday_docs": n - cut,
+        "wall_full_corpus": full_wall,
+    }
+
+
 def _deep_tier(spark, D, docs, n: int) -> dict:
     """The 100x tier body (production dedup path + telemetry-only
     aggregates). Split out so the caller can wrap it in try/finally
@@ -165,24 +195,7 @@ def _deep_tier(spark, D, docs, n: int) -> dict:
         lambda: D.simhash_pairs_multi_index(docs, max_hamming=3),
         max_attempts=2,
     )
-    # incremental dedup at the deep tier: 450k-doc history's store
-    # (built once, cached on disk), daily job = last 50k against it
-    from tesseract_ocr_service_spark.operators import incremental as I
-
-    cut = int(n * 0.9)
-    store_dir = f"{BASE}/n{n}_s{SEED}/sigstore_c{cut}"
-    if not os.path.exists(f"{store_dir}/_SUCCESS"):
-        _, s1 = I.dedup_incremental(
-            docs.where(F.col("doc_id") < cut), persist=False
-        )
-        s1.write.mode("overwrite").parquet(store_dir)
-    store = I.read_signature_store(docs.sparkSession, store_dir)
-    wi, ki = _timed(
-        lambda: I.dedup_incremental(
-            docs.where(F.col("doc_id") >= cut), store
-        )[0],
-        max_attempts=2,
-    )
+    incr = _incremental_probe(spark, docs, n, w)
     return {
         "n_docs": n,
         "minhash_lsh": {
@@ -193,12 +206,7 @@ def _deep_tier(spark, D, docs, n: int) -> dict:
             "verified_pairs": nv,
         },
         "dedup_corpus": {"wall": w, "kept": kept, "dropped": n - kept},
-        "dedup_incremental": {
-            "wall": wi,
-            "kept_newday": ki,
-            "newday_docs": n - cut,
-            "wall_full_corpus": w,
-        },
+        "dedup_incremental": incr,
         "ngram_shingle_df": ngram_tel,
         "simhash_cand_pairs": simhash_cand,
         "simhash_multi_index": {
@@ -280,29 +288,10 @@ def sf1_section(spark) -> dict:
         w, kept = _timed(lambda: D.dedup_corpus(docs))
         sec["dedup_corpus"] = {"wall": w, "kept": kept, "dropped": n - kept}
 
-        # --- incremental dedup: history = first 90% of ids (store
-        # built once, persisted to parquet — the one-time cost a real
-        # pipeline amortizes), timed job = last 10% deduped against
-        # the STORE. The wall should track the 10% increment, not the
-        # corpus: the store probe never re-shingles history.
-        from tesseract_ocr_service_spark.operators import incremental as I
-
-        cut = int(n * 0.9)
-        store_dir = f"{BASE}/n{n}_s{SEED}/sigstore_c{cut}"
-        if not os.path.exists(f"{store_dir}/_SUCCESS"):
-            _, s1 = I.dedup_incremental(
-                docs.where(F.col("doc_id") < cut), persist=False
-            )
-            s1.write.mode("overwrite").parquet(store_dir)
-        store = I.read_signature_store(spark, store_dir)
-        newday = docs.where(F.col("doc_id") >= cut)
-        wi, ki = _timed(lambda: I.dedup_incremental(newday, store)[0])
-        sec["dedup_incremental"] = {
-            "wall": wi,
-            "kept_newday": ki,
-            "newday_docs": n - cut,
-            "wall_full_corpus": w,
-        }
+        # --- incremental dedup: the wall should track the 10% new-day
+        # increment, not the corpus (the store probe never re-shingles
+        # history) — see _incremental_probe
+        sec["dedup_incremental"] = _incremental_probe(spark, docs, n, w)
         w, ncomp = _timed(
             lambda: D.neardup_components(docs).groupBy("component_id").count()
         )

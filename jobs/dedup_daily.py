@@ -66,11 +66,24 @@ def main(argv=None) -> int:
         app="dedup-daily", master=args.master
     ).getOrCreate()
     docs = spark.read.parquet(args.docs)
-    try:
-        store = I.read_signature_store(spark, args.store)
-        store.first()  # existence probe: empty dir == no history
-    except Exception:
-        store = None
+    # EXPLICIT existence probe, not a swallowed read error: a transient
+    # FS failure mistaken for "no history" would dedup against nothing
+    # and append duplicate signatures, permanently breaking the store's
+    # all-historical-exact-survivors invariant. Only a genuinely
+    # missing/empty store bootstraps; any other read error propagates.
+    jvm, hconf = spark._jvm, spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(args.store)
+    store = None
+    if p.getFileSystem(hconf).exists(p):
+        from pyspark.errors import AnalysisException
+
+        try:
+            store = I.read_signature_store(spark, args.store)
+        except AnalysisException as e:
+            # a dir with no data files (crash debris) is "no history";
+            # any other analysis error is real and must propagate
+            if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
     kept, inc = I.dedup_incremental(
         docs,
         store,

@@ -417,9 +417,12 @@ def kernel_iter(
         t0 = _time.perf_counter()
         out = extract_batch(batch, cfg)
         ms = (_time.perf_counter() - t0) * 1000.0
-        counts = batch["warc_ts"].dt.strftime("%Y-%m-%d").value_counts()
+        # count on the normalized datetime64 (vectorized), format only
+        # the handful of UNIQUE day keys — per-row strftime is object-
+        # dtype string work on the kernel hot path
+        counts = batch["warc_ts"].dt.normalize().value_counts()
         total = int(counts.sum()) or 1
         day_acc.add(
-            {str(d): ms * int(c) / total for d, c in counts.items()}
+            {str(d.date()): ms * int(c) / total for d, c in counts.items()}
         )
         yield out

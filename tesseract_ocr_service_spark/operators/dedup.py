@@ -319,6 +319,9 @@ def dedup_paragraphs(
     navigation, licence blocks), and reassemble the survivors in
     original order. -> (id, text_dedup, n_lines_kept, n_lines_dropped);
     documents whose every line is dropped stay present with ''.
+    ``sep`` is a LITERAL separator (regex-escaped for the split side —
+    F.split takes a pattern; sep='.' or '|' must not split everywhere)
+    and is used verbatim to rejoin survivors.
 
     Plan shape: explode is narrow; the corpus-wide occurrence count is
     ONE window over the line (the unavoidable global-frequency shuffle
@@ -326,10 +329,12 @@ def dedup_paragraphs(
     no join of the line table back to itself, no second scan of the
     source. collect_list skips the NULL entries the keep-filter
     produces, so counting and reassembly ride one aggregation."""
+    import re as _re
+
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
         ).alias("pos", "line"),
     )
     occ = lines.withColumn(

@@ -108,6 +108,12 @@ def dedup_incremental(
     (monotone ingest keys). The cross-pair drop rule always drops the
     new side; with non-monotone ids that diverges from the one-shot
     pipeline (which drops the larger id).
+
+    ``max_bucket`` caps BOTH near-phase candidate paths (intra-new via
+    minhash_dedup_pairs, store-x-new via a hot-key drop); in over-cap
+    regimes incremental and one-shot keep/drop can diverge (different
+    bucket populations) — both document the same remedy: exact-dedup
+    degenerate corpora first, which this function's exact phase does.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -148,9 +154,29 @@ def dedup_incremental(
     # ---- near phase: store x new -------------------------------------
     if store_sigs is not None:
         bn = D.sig_band_rows(ex.select("id", "sig"), k, bands, carry=("sig",))
+        bo = D.sig_band_rows(store_sigs.select("id", "sig"), k, bands, carry=("sig",))
+        if max_bucket is not None:
+            # degenerate-bucket guard for the CROSS probe, same rule as
+            # cap_buckets (drop every candidate of an over-cap bucket),
+            # but shaped so history still never shuffles as ROWS: one
+            # count aggregate over both sides' band keys (map-side
+            # combine reduces the shuffle to distinct keys + partial
+            # counts), then a broadcast anti-join of the rare hot keys.
+            # Without this, m_store x m_new rows per hot key — each
+            # carrying two K-element sig arrays — revive the quadratic
+            # cap_buckets exists to prevent.
+            hot = (
+                bo.select("band", "band_key")
+                .unionByName(bn.select("band", "band_key"))
+                .groupBy("band", "band_key")
+                .agg(F.count("*").alias("_m"))
+                .where(F.col("_m") > max_bucket)
+                .select("band", "band_key")
+            )
+            bo = bo.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
+            bn = bn.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
         if broadcast_new:
             bn = F.broadcast(bn)
-        bo = D.sig_band_rows(store_sigs.select("id", "sig"), k, bands, carry=("sig",))
         cross = (
             bo.alias("o")
             .join(
