@@ -362,6 +362,103 @@ def dedup_paragraphs(
     )
 
 
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 2,
+    hashed: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    every substring that appears verbatim more than once in the
+    corpus, at token granularity): any k-token window of normalized
+    text whose exact token sequence occurs >= ``min_df`` times
+    corpus-wide (ALL occurrences counted — a phrase repeated inside
+    one document duplicates itself) marks its k token positions as
+    duplicated; duplicated tokens are removed and the survivors
+    reassembled in original order.
+    -> (id, text_dedup, n_tokens_kept, n_tokens_dropped); empty/NULL
+    documents stay present with ''.
+
+    Plan shape (1 scan, 3 exchanges — each one irreducible):
+    posexplode tokens (narrow) -> per-doc lead() window builds the
+    k-gram starting at each position [exchange 1: id] -> corpus-wide
+    occurrence count is ONE window over the gram key [exchange 2:
+    gram] -> covered(p) = max(dup-start flag) over the trailing k-1
+    positions, then reassembly groupBy(id) shares the partitioning
+    [exchange 3: id]. No self-join, no pair enumeration — a gram
+    occurring a million times costs one window count, so there is no
+    hot-key quadratic to cap (contrast ngram_jaccard_pairs).
+
+    Tail positions (start > ntok-k) have no k-gram; they get a
+    per-row unique sentinel key instead of NULL so the gram exchange
+    never builds one giant NULL partition (a skew wall at 10^9 docs).
+    ``min_df`` must be >= 2 (at 1 the sentinel rows self-match and
+    everything drops). ``hashed=True`` keys the frequency window on
+    xxhash64(gram) — 8-byte shuffle keys instead of whole phrases for
+    the production path; identical decisions modulo 2^-64 collisions
+    (the oracle-checked query uses raw grams).
+    """
+    if min_df < 2:
+        raise ValueError("min_df must be >= 2 (see sentinel-key note)")
+    norm = T.normalized(F.coalesce(F.col(text_col), F.lit("")))
+    toks_arr = T.tokens(norm)
+    base = df.select(F.col(id_col).alias("id"), toks_arr.alias("toks"))
+    # posexplode_outer: zero-token docs keep a (null, null) row so they
+    # survive to the reassembly with '' instead of vanishing.
+    pos_toks = base.select(
+        "id", F.posexplode_outer("toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, k)
+    ]
+    grammed = pos_toks.select("id", "pos", "tok", *leads[1:])
+    last = F.col(f"t{k-1}") if k > 1 else F.col("tok")
+    gram = F.when(
+        last.isNotNull(),
+        F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]),
+    )
+    key = F.coalesce(
+        F.xxhash64(gram).cast("string") if hashed else gram,
+        # sentinel: unique per row, occ == 1, never a dup start
+        F.concat_ws("\x00", F.lit("\x00"), F.col("id"), F.col("pos")),
+    )
+    occ = grammed.select(
+        "id", "pos", "tok", gram.isNotNull().alias("_real"), key.alias("_key")
+    ).withColumn("_occ", F.count("*").over(Window.partitionBy("_key")))
+    dup_start = (F.col("_occ") >= min_df) & F.col("_real")
+    covered = (
+        F.max(dup_start.cast("int"))
+        .over(w.rowsBetween(-(k - 1), 0))
+        .alias("_cov")
+    )
+    marked = occ.select("id", "pos", "tok", covered)
+    keep = (F.col("_cov") == 0) & F.col("tok").isNotNull()
+    agg = marked.groupBy("id").agg(
+        F.array_sort(
+            F.collect_list(F.when(keep, F.struct("pos", "tok")))
+        ).alias("_keep"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias(
+            "n_tokens_kept"
+        ),
+        F.sum(
+            F.when((F.col("_cov") == 1) & F.col("tok").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("n_tokens_dropped"),
+    )
+    return agg.select(
+        "id",
+        F.array_join(
+            F.transform("_keep", lambda s: s["tok"]), " "
+        ).alias("text_dedup"),
+        "n_tokens_kept",
+        "n_tokens_dropped",
+    )
+
+
 def contamination_hits(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1129,8 +1129,71 @@ def _sql_quality_filter() -> str:
     """
 
 
+SPAN_K = 5  # duplicated-span window (tokens) for dedup_spans_removed
+
+
+def dedup_spans_removed(spark, sf_dir):
+    """ExactSubstr-style span dedup (Lee et al. 2021): drop every
+    5-token window occurring >= 2 times corpus-wide, reassemble the
+    surviving tokens. The synthetic corpus's exact-dup groups and
+    planted near-dup templates give the grams real repeats."""
+    return D.dedup_spans(
+        _docs(spark, sf_dir), k=SPAN_K, min_df=2
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_dedup_spans(k: int = SPAN_K, min_df: int = 2) -> str:
+    gram_terms = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, k)]
+    )
+    return f"""
+        WITH norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+        toks AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) AS pos
+            FROM norm
+        ),
+        grams AS (
+            SELECT doc_id, pos, tok,
+                   CASE WHEN lead(tok, {k - 1}) OVER w IS NOT NULL
+                        THEN {gram_terms} END AS gram
+            FROM toks
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        occ AS (
+            SELECT doc_id, pos, tok, gram,
+                   count(*) OVER (PARTITION BY gram) AS oc
+            FROM grams
+        ),
+        cov AS (
+            SELECT doc_id, pos, tok,
+                   max(CASE WHEN gram IS NOT NULL AND oc >= {min_df}
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {k - 1} PRECEDING
+                             AND CURRENT ROW) AS c
+            FROM occ
+        )
+        SELECT d.doc_id,
+               coalesce(g.text_dedup, '') AS text_dedup,
+               CAST(coalesce(g.n_tokens_kept, 0) AS BIGINT)
+                   AS n_tokens_kept,
+               CAST(coalesce(g.n_tokens_dropped, 0) AS BIGINT)
+                   AS n_tokens_dropped
+        FROM documents d LEFT JOIN (
+            SELECT doc_id,
+                   string_agg(CASE WHEN c = 0 THEN tok END,
+                              ' ' ORDER BY pos) AS text_dedup,
+                   count(CASE WHEN c = 0 THEN 1 END) AS n_tokens_kept,
+                   count(CASE WHEN c = 1 THEN 1 END) AS n_tokens_dropped
+            FROM cov GROUP BY doc_id
+        ) g USING (doc_id)
+    """
+
+
 SPARK_QUERIES = {
     "quality_filter": quality_filter,
+    "dedup_spans_removed": dedup_spans_removed,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -1164,6 +1227,7 @@ SPARK_QUERIES = {
 
 ORACLES = {
     "quality_filter": _sql_quality_filter(),
+    "dedup_spans_removed": _sql_dedup_spans(),
     "dedup_exact_groups": _sql_dedup_exact(),
     "dedup_ngram_jaccard": _sql_jaccard(),
     "dedup_minhash_sig": _sql_minhash(),

@@ -425,6 +425,70 @@ def test_dedup_paragraphs_c4_rule(spark):
     assert set(out) == {1, 2, 3, 4, 5}  # no doc vanishes
 
 
+def test_dedup_spans_exact_substr(spark):
+    """ExactSubstr rule (Lee et al. 2021), token-level: a k-gram
+    occurring >= min_df times corpus-wide (within-doc repeats count)
+    marks its k positions; covered tokens are removed, survivors
+    reassemble in order; short/empty docs pass through untouched."""
+    shared = "one two three four five"  # the duplicated 5-token span
+    rows = [
+        # suffixes diverge IMMEDIATELY after the span — a common next
+        # token would extend the duplicated run by one more gram
+        (1, f"intro words {shared} apple anchor"),
+        (2, f"other opening {shared} banana bridge"),
+        (3, "totally unique content here with no repeats at all"),
+        (4, "tiny doc"),  # < k tokens: no gram, fully kept
+        (5, ""),  # empty stays present with ''
+        # within-doc repeat: the span duplicates ITSELF (df=2 from one doc)
+        (6, f"x {shared} y {shared} z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in D.dedup_spans(df, k=5, min_df=2).collect()}
+    assert out[1]["text_dedup"] == "intro words apple anchor"
+    assert (out[1]["n_tokens_kept"], out[1]["n_tokens_dropped"]) == (4, 5)
+    assert out[2]["text_dedup"] == "other opening banana bridge"
+    assert out[3]["n_tokens_dropped"] == 0
+    assert out[4]["text_dedup"] == "tiny doc"
+    assert out[5]["text_dedup"] == "" and out[5]["n_tokens_kept"] == 0
+    assert out[6]["text_dedup"] == "x y z"
+    assert out[6]["n_tokens_dropped"] == 10
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+
+
+def test_dedup_spans_coverage_extends_past_gram_starts(spark):
+    """A duplicated k-gram covers all k positions, not just its start:
+    two docs sharing a 6-token run at k=5 have 2 duplicated starts and
+    6 covered tokens each."""
+    run = "a b c d e f"
+    rows = [(1, f"p {run} q"), (2, f"r {run} s")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in D.dedup_spans(df, k=5, min_df=2).collect()}
+    assert out[1]["text_dedup"] == "p q"
+    assert out[1]["n_tokens_dropped"] == 6
+    with pytest.raises(ValueError):
+        D.dedup_spans(df, min_df=1)
+
+
+def test_dedup_spans_plan_single_scan(spark):
+    """1 scan, 3 exchanges (id -> gram key -> id); the reassembly
+    groupBy rides the coverage window's id partitioning — no 4th
+    exchange, no self-join."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        D.dedup_spans(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 3
+    # the production hashed-key path (8-byte xxhash64 shuffle keys)
+    # makes identical drop decisions on real data
+    raw = D.dedup_spans(docs).collect()
+    hashed = D.dedup_spans(docs, hashed=True).collect()
+    assert sorted(map(tuple, raw)) == sorted(map(tuple, hashed))
+
+
 def test_redact_pii_patterns(spark):
     rows = [
         (1, "mail bob.smith+x@corp.example.org now"),
