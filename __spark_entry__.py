@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": R.value_percentiles_approx,
         "domain_quota_sample": R.domain_quota_sample,
         "train_val_test_split": R.train_val_test_split,
+        "lang_temperature_sample": R.lang_temperature_sample,
         "pack_sequences": R.pack_sequences,
     }
 
@@ -398,6 +399,26 @@ def oracle_sql() -> dict[str, str]:
                            ::INT % 100 AS b
                 FROM documents
             )
+        """,
+        # temperature sampling (alpha = 0.5): keep rate sqrt(n_min/n_l)
+        # per language as an md5 threshold; sqrt is correctly rounded in
+        # IEEE-754, so both engines compute the identical floor()
+        "lang_temperature_sample": """
+            WITH counts AS (
+                SELECT lang, count(*) AS n FROM documents GROUP BY lang
+            ),
+            m AS (SELECT min(n) AS n_min FROM counts)
+            SELECT d.doc_id, d.lang,
+                   CAST(floor(65536.0 * sqrt(CAST(m.n_min AS DOUBLE)
+                                             / CAST(c.n AS DOUBLE)))
+                        AS INT) AS keep_per_64k,
+                   CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                             1, 4))::INT % 65536
+                             < floor(65536.0 * sqrt(CAST(m.n_min AS DOUBLE)
+                                                    / CAST(c.n AS DOUBLE)))
+                        THEN 1 ELSE 0 END AS keep
+            FROM documents d
+            JOIN counts c USING (lang) CROSS JOIN m
         """,
         # sequence packing: next-fit token-budget bins per hash shard
         # (window PARTITIONED by shard — packing parallelizes by shard,

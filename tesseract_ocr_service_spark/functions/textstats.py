@@ -226,6 +226,51 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+#: URL canonicalization pieces (CCNet-style crawl hygiene). All are
+#: RE2-compatible so DuckDB replays them verbatim for the oracle.
+URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+URL_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+URL_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
+URL_TRACKING_RE = "(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)=[^&]*"
+
+
+def url_scheme(col: Column) -> Column:
+    return F.lower(F.regexp_extract(col, URL_SCHEME_RE, 1))
+
+
+def url_host(col: Column) -> Column:
+    """Lowercased host with the scheme's default port and a leading
+    'www.' stripped — the key for host-level aggregation/dedup.
+    Non-default ports are preserved (they address a different vhost)."""
+    hp = F.lower(F.regexp_extract(col, URL_HOSTPORT_RE, 1))
+    sch = url_scheme(col)
+    hp = (
+        F.when(sch == "http", F.regexp_replace(hp, ":80$", ""))
+        .when(sch == "https", F.regexp_replace(hp, ":443$", ""))
+        .otherwise(hp)
+    )
+    return F.regexp_replace(hp, r"^www\.", "")
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical URL for crawl dedup: lowercase scheme+host, strip the
+    default port / 'www.' / fragment / tracking query params
+    (utm_*, ref, fbclid, gclid — real params survive), '' path -> '/'.
+    Pure chained JVM regex (codegen, zero Python); case-sensitive
+    path/query are preserved byte-for-byte. Different crawls of one
+    page ('HTTP://WWW.X.COM:80/a?utm_source=f' vs 'http://x.com/a')
+    collapse to one key, which is what makes URL-level dedup reach
+    the ~duplicate-fetch rate of a real crawl."""
+    u0 = F.regexp_replace(col, "#.*$", "")
+    rest = F.regexp_extract(u0, URL_REST_RE, 1)
+    rest = F.regexp_replace(rest, URL_TRACKING_RE, "")
+    rest = F.regexp_replace(rest, "&+", "&")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, "[?&]+$", "")
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.concat(url_scheme(u0), F.lit("://"), url_host(u0), path)
+
+
 def nfc(col: Column) -> Column:
     """Unicode NFC normalization — the canonicalization pass a training
     corpus runs before fingerprinting (decomposed accents, compatibility

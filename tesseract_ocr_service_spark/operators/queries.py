@@ -1191,9 +1191,156 @@ def _sql_dedup_spans(k: int = SPAN_K, min_df: int = 2) -> str:
     """
 
 
+def url_dedup(spark, sf_dir):
+    """URL-level crawl dedup over planted raw URLs (the documents table
+    has none of its own): four deterministic crawl variants of each
+    page — clean, SHOUTED-case + explicit :443, www. + utm_ tracking
+    (plus one REAL param that must survive), and tracking-only query +
+    fragment — canonicalize to a shared key; url_rank numbers each
+    canonical group by doc_id (rank 1 = the fetch a dedup keeps).
+    Window is PARTITIONED by the canonical URL — never a global sort."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    s = (F.col("doc_id") % 5).cast("string")
+    p = (F.col("doc_id") % 100).cast("string")
+    v = F.col("doc_id") % 4
+    raw = (
+        F.when(v == 0, F.concat(
+            F.lit("https://news-"), s, F.lit(".example.com/article/"), p))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://News-"), s, F.lit(".Example.COM:443/article/"), p))
+        .when(v == 2, F.concat(
+            F.lit("https://www.news-"), s, F.lit(".example.com/article/"),
+            p, F.lit("?utm_source=feed&id=7")))
+        .otherwise(F.concat(
+            F.lit("https://news-"), s, F.lit(".example.com/article/"),
+            p, F.lit("?ref=tw&utm_campaign=x#frag")))
+    )
+    out = docs.select(
+        "doc_id",
+        T.canonical_url(raw).alias("url_canon"),
+        T.url_host(raw).alias("host"),
+    )
+    w = Window.partitionBy("url_canon").orderBy("doc_id")
+    return out.withColumn("url_rank", F.row_number().over(w).cast("int"))
+
+
+def _sql_url_dedup() -> str:
+    sch = f"lower(regexp_extract(url, '{T.URL_SCHEME_RE}', 1))"
+    hp = f"lower(regexp_extract(url, '{T.URL_HOSTPORT_RE}', 1))"
+    host = (
+        f"regexp_replace(CASE WHEN {sch} = 'http' "
+        f"THEN regexp_replace({hp}, ':80$', '') "
+        f"WHEN {sch} = 'https' THEN regexp_replace({hp}, ':443$', '') "
+        f"ELSE {hp} END, '^www\\.', '')"
+    )
+    rest = f"regexp_extract(url, '{T.URL_REST_RE}', 1)"
+    rest = f"regexp_replace({rest}, '{T.URL_TRACKING_RE}', '', 'g')"
+    rest = f"regexp_replace({rest}, '&+', '&', 'g')"
+    rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"
+    path = f"CASE WHEN {rest} = '' THEN '/' ELSE {rest} END"
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE doc_id % 4
+                   WHEN 0 THEN 'https://news-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                   WHEN 1 THEN 'HTTPS://News-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.Example.COM:443/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                   WHEN 2 THEN 'https://www.news-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '?utm_source=feed&id=7'
+                   ELSE 'https://news-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '?ref=tw&utm_campaign=x#frag'
+                   END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   {sch} || '://' || {host}
+                       || {path} AS url_canon,
+                   {host} AS host
+            FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url
+                  FROM raw)
+        )
+        SELECT doc_id, url_canon, host,
+               CAST(row_number() OVER (PARTITION BY url_canon
+                                       ORDER BY doc_id) AS INT) AS url_rank
+        FROM canon
+    """
+
+
+SEM_K = 16  # SemDeDup codebook size: K is the paper's pair-count knob
+SEM_T = 0.3  # semantic-duplicate cosine (matches NEARDUP_T's data scale)
+
+
+def semantic_dedup_keep(spark, sf_dir):
+    """SemDeDup over the embeddings table: deterministic seed codebook
+    (same id%7 rule the IVF oracle rebuilds), within-cluster cosine >=
+    SEM_T drops all but the lowest-id member of each duplicate group."""
+    emb = _emb(spark, sf_dir)
+    cents = S.ivf_centroids(emb, n_lists=SEM_K, iterations=0)
+    return S.semantic_dedup(emb, cents, threshold=SEM_T)
+
+
+def _sql_semantic_dedup(n_lists: int = SEM_K, t: float = SEM_T) -> str:
+    cos_ec = (
+        "list_dot_product(e.embedding::DOUBLE[], c.c) / "
+        "(sqrt(list_dot_product(e.embedding::DOUBLE[], "
+        "e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.c, c.c)))"
+    )
+    cos_ab = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(a.embedding::DOUBLE[], "
+        "a.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(b.embedding::DOUBLE[], "
+        "b.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH seeds AS (
+            SELECT vec_id, embedding::DOUBLE[] AS c FROM embeddings
+            WHERE vec_id % 7 = 0 ORDER BY vec_id LIMIT {n_lists}
+        ),
+        cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, c
+            FROM seeds
+        ),
+        assign AS (
+            SELECT vec_id, embedding, list_id FROM (
+                SELECT e.vec_id, e.embedding, c.list_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {cos_ec} DESC,
+                                                   c.list_id) AS rn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id FROM assign a JOIN assign b
+              ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+            WHERE round({cos_ab}, 4) >= {t}
+        )
+        SELECT a.vec_id, CAST(a.list_id AS INT) AS list_id,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+        FROM assign a LEFT JOIN dropped d USING (vec_id)
+    """
+
+
 SPARK_QUERIES = {
     "quality_filter": quality_filter,
     "dedup_spans_removed": dedup_spans_removed,
+    "url_dedup": url_dedup,
+    "semantic_dedup": semantic_dedup_keep,
     "dedup_exact_groups": dedup_exact_groups,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_sig": dedup_minhash_sig,
@@ -1228,6 +1375,8 @@ SPARK_QUERIES = {
 ORACLES = {
     "quality_filter": _sql_quality_filter(),
     "dedup_spans_removed": _sql_dedup_spans(),
+    "url_dedup": _sql_url_dedup(),
+    "semantic_dedup": _sql_semantic_dedup(),
     "dedup_exact_groups": _sql_dedup_exact(),
     "dedup_ngram_jaccard": _sql_jaccard(),
     "dedup_minhash_sig": _sql_minhash(),

@@ -461,6 +461,55 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-data op: temperature-balanced language sampling — the
+# multilingual-corpus rebalance (sample language l with probability
+# proportional to p_l^alpha; alpha < 1 flattens the head so
+# low-resource languages are not drowned — the XLM-R/mT5 recipe).
+# Deterministic, downsample-only form: keep rate
+# r_l = (n_l / n_min)^(alpha - 1) — the rarest language keeps all its
+# docs, a language 4x its size keeps sqrt(1/4) = 1/2 at alpha = 0.5.
+# Membership is an md5 bucket (rerun- and engine-stable, same idiom as
+# train_val_test_split). alpha is PINNED to 0.5: the rate becomes
+# sqrt(n_min/n_l), and IEEE-754 sqrt is correctly rounded, so every
+# engine computes the identical threshold where a pow() would differ
+# in the last ulp and flip boundary buckets.
+#
+# Shape at 10^12 rows: per-lang counts are a groupBy partial agg
+# (tiny shuffle) broadcast-joined back — NOT a count window over lang,
+# which would shuffle the whole corpus onto ~100 reducers with the
+# head language (easily 40% of web text) landing on ONE. The corpus is
+# scanned twice (once for counts, once for marking); scans are cheap,
+# skewed shuffles are not.
+def lang_temperature_sample(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.5
+) -> DataFrame:
+    if alpha != 0.5:
+        raise ValueError("alpha is pinned to 0.5 (sqrt threshold rule)")
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("_n"))
+    n_min = counts.agg(F.min("_n").alias("_n_min"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("int")
+        % 65536
+    )
+    thresh = F.floor(
+        F.lit(65536.0)
+        * F.sqrt(F.col("_n_min").cast("double") / F.col("_n").cast("double"))
+    )
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(n_min))
+        .select(
+            "doc_id",
+            "lang",
+            thresh.cast("int").alias("keep_per_64k"),
+            (bucket < thresh).cast("int").alias("keep"),
+        )
+    )
+
+
 # --- training-data op: sequence packing — group documents into fixed
 # token budgets (the batch-construction step before tokenizer sharding:
 # each pack becomes one ~seq_len training sequence). Next-fit by

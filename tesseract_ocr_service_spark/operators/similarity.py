@@ -202,17 +202,90 @@ def ivf_centroids(
 
 
 def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
-    """list_id = argmax over centroids of cosine(v, c) — an unrolled
-    greatest-of-K expression (K small; JVM-side)."""
+    """list_id = argmax over centroids of cosine(v, c), as an array of
+    K cosine exprs + array_max/array_position (first-wins tie-break,
+    JVM-side). NOT a when()-chain carrying a running best: that form
+    nests the previous best into both branches of every step, so the
+    expression tree doubles per centroid — K=16 OOMed the driver at
+    ANALYSIS time before a single row moved."""
     v = vec_col.cast("array<double>")
-    best_id = F.lit(0)
-    best_sim = cosine(v, F.array(*[F.lit(float(x)) for x in centroids[0]]))
-    for j, c in enumerate(centroids[1:], start=1):
-        sim = cosine(v, F.array(*[F.lit(float(x)) for x in c]))
-        better = sim > best_sim
-        best_id = F.when(better, F.lit(j)).otherwise(best_id)
-        best_sim = F.when(better, sim).otherwise(best_sim)
-    return best_id
+    sims = F.array(
+        *[
+            cosine(v, F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    cluster the embedding space with a k-means codebook, then WITHIN
+    each cluster drop every vector whose cosine to a lower-id member
+    is >= ``threshold`` (the paper keeps one representative per
+    semantic-duplicate group; lowest id is the deterministic stand-in
+    for its low-centroid-similarity pick).
+    -> (vec_id, list_id, keep) with keep in {0, 1}.
+
+    Scale shape: assignment is the argmax-cosine over K centroid
+    literals (JVM-side, same expr as the IVF index build) and its
+    lineage is CUT after one materialization — the within-cluster
+    self-join and the final drop-mark each consume it, and leaving the
+    K*dim-literal expr in the DAG three times put ~25 of 33 s into
+    driver-side planning alone at K=16 (measured; data compute was
+    8 s). Pair enumeration is a self-join keyed on list_id — the
+    paper's own control knob is K: clusters are sized (N/K ~
+    thousands) so within-cluster pairs stay tractable, which is
+    exactly the hot-shingle-cap story with the codebook as the cap.
+    Norms are precomputed once per row, pairs carry ids only. On a
+    cluster, set a reliable checkpoint dir (same rule as
+    dedup.connected_components).
+    """
+    from .dedup import _truncate_lineage
+
+    v = F.col(vec_col).cast("array<double>")
+    assigned = _truncate_lineage(
+        df.select(
+            F.col(id_col).alias("id"),
+            v.alias("v"),
+            ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+            norm(v).alias("nrm"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(
+            F.round(
+                dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )
 
 
 def _cos_py(a, b) -> float:

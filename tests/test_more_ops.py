@@ -269,3 +269,29 @@ def test_value_percentiles_approx_within_tolerance(spark):
         for q in ("p50", "p90", "p99"):
             scale = max(1.0, abs(e[q]))
             assert abs(a[q] - e[q]) / scale < 0.05, (et, q, e[q], a[q])
+
+
+def test_lang_temperature_sample_rule(spark):
+    """alpha=0.5 temperature sampling: keep_per_64k is exactly
+    floor(65536*sqrt(n_min/n_lang)), membership is the md5 bucket
+    (recomputed independently here), and the rarest language keeps
+    every document."""
+    import collections
+    import hashlib
+    import math
+
+    from tesseract_ocr_service_spark.operators import relational as R
+
+    rows = R.lang_temperature_sample(spark, "/root/testdata/sf0.001").collect()
+    n_by_lang = collections.Counter(r["lang"] for r in rows)
+    n_min = min(n_by_lang.values())
+    for r in rows:
+        exp = math.floor(65536.0 * math.sqrt(n_min / n_by_lang[r["lang"]]))
+        assert r["keep_per_64k"] == exp, r
+        b = (
+            int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+            % 65536
+        )
+        assert r["keep"] == int(b < exp), r
+    rare = min(n_by_lang, key=n_by_lang.get)
+    assert all(r["keep"] == 1 for r in rows if r["lang"] == rare)

@@ -89,6 +89,16 @@ def test_quota_sample_and_splits_have_no_global_window(spark):
     assert "Exchange" not in plan2, plan2
 
 
+def test_lang_temperature_sample_broadcasts_counts(spark):
+    """Per-lang counts reach the corpus as BROADCAST joins (tiny agg
+    shuffle only) — never a count window over lang, which would shuffle
+    the whole corpus by a head-heavy key."""
+    plan = _plan(R.lang_temperature_sample(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row n_min cross
+    assert "Window" not in plan and "SortMergeJoin" not in plan, plan
+
+
 def test_lsh_pair_plans_scan_upstream_minimally(spark):
     """The bucket cap must be a window count, not a counts anti-join:
     the anti-join form made the counts side an extra consumer of the

@@ -489,6 +489,64 @@ def test_dedup_spans_plan_single_scan(spark):
     assert sorted(map(tuple, raw)) == sorted(map(tuple, hashed))
 
 
+def test_semantic_dedup_semdedup_rule(spark):
+    """Within-cluster cosine >= t drops every member but the lowest id;
+    cross-cluster twins are NOT compared (the SemDeDup approximation);
+    sub-threshold members survive."""
+    rows = [
+        (1, [1.0, 0.0]),          # cluster 0, keeper
+        (2, [0.999, 0.01]),       # ~dup of 1 -> dropped
+        (3, [0.8, 0.6]),          # cluster 0 but cos(1,3)=0.8 < t
+        (4, [0.0, 1.0]),          # cluster 1, keeper
+        (5, [0.0, 2.0]),          # scaled dup of 4 -> dropped
+        (6, [0.05, 1.0]),         # ~dup of 4 -> dropped
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {
+        r["vec_id"]: (r["list_id"], r["keep"])
+        for r in S.semantic_dedup(df, cents, threshold=0.95).collect()
+    }
+    assert out[1] == (0, 1) and out[2] == (0, 0)
+    assert out[3] == (0, 1)  # same cluster, below threshold
+    assert out[4] == (1, 1) and out[5] == (1, 0) and out[6] == (1, 0)
+
+
+def test_canonical_url_rules(spark):
+    """Case/port/www/fragment/tracking variants collapse to one key;
+    real query params and non-default ports survive."""
+    rows = [
+        (1, "https://news.example.com/a"),
+        (2, "HTTPS://NEWS.Example.COM:443/a"),
+        (3, "https://www.news.example.com/a?utm_source=f&utm_medium=m"),
+        (4, "https://news.example.com/a?ref=tw#frag"),
+        (5, "http://news.example.com:80/a"),  # http default port
+        (6, "https://news.example.com/a?id=7&utm_source=f"),  # real param
+        (7, "https://news.example.com:8443/a"),  # NON-default port kept
+        (8, "https://news.example.com"),  # empty path -> '/'
+        (9, "https://news.example.com/A"),  # path case preserved
+    ]
+    df = spark.createDataFrame(rows, ["i", "u"])
+    got = {
+        r["i"]: (r["c"], r["h"])
+        for r in df.select(
+            "i",
+            T.canonical_url(F.col("u")).alias("c"),
+            T.url_host(F.col("u")).alias("h"),
+        ).collect()
+    }
+    base = "https://news.example.com/a"
+    assert got[1][0] == got[2][0] == got[3][0] == got[4][0] == base
+    assert got[5][0] == "http://news.example.com/a"
+    assert got[6][0] == "https://news.example.com/a?id=7"
+    assert got[7][0] == "https://news.example.com:8443/a"
+    assert got[7][1] == "news.example.com:8443"
+    assert got[8][0] == "https://news.example.com/"
+    assert got[9][0] == "https://news.example.com/A"  # != got[1]
+    assert all(h == "news.example.com" for i, (_, h) in got.items()
+               if i not in (7,))
+
+
 def test_redact_pii_patterns(spark):
     rows = [
         (1, "mail bob.smith+x@corp.example.org now"),
