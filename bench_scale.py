@@ -385,6 +385,31 @@ def sf1_section(spark) -> dict:
                 "wall": w,
                 "pairs": npairs,
             }
+        # --- SemDeDup: codebook sized so clusters stay ~256 vectors
+        # (cluster size IS the pair cap, so K scales with N and
+        # cand_pairs_per_vec should hold ~flat); assignment via the
+        # batched numpy-matmul path — the large-K shape (the unrolled
+        # expression argmax is the small-K oracle path only)
+        n_vec = int(n * VEC_FRAC)
+        k_sem = max(8, n_vec // 256)
+        cents = S.ivf_centroids(embs, n_lists=k_sem, iterations=0)
+        occ_sem = S.assign_codebook_batched(embs, cents).groupBy(
+            "list_id"
+        ).agg(F.count("*").alias("m"))
+        cand_sem = _pair_sum(occ_sem, "m")
+        w, nkeep = _timed(
+            lambda: S.semantic_dedup(embs, cents, threshold=0.9).where(
+                "keep = 1"
+            )
+        )
+        sec["semantic_dedup"] = {
+            "k": k_sem,
+            "cand_pairs": cand_sem,
+            "cand_pairs_per_vec": round(cand_sem / n_vec, 3),
+            "wall": w,
+            "kept": nkeep,
+        }
+
         out[tag] = sec
 
     # --- 100x tier (500k docs): the PRODUCTION dedup path only
@@ -427,6 +452,7 @@ def sf1_section(spark) -> dict:
         ("simhash", "wall_pairs"),
         ("simhash_multi_index", "wall_pairs"),
         ("embedding_lsh_p8", "wall"),
+        ("semantic_dedup", "wall"),
     ):
         lo, hi = out["1x"][op][field], out["10x"][op][field]
         ratios[op] = round(hi / lo, 2) if lo else None

@@ -218,12 +218,62 @@ def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
     return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
+def assign_codebook_batched(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Codebook assignment for LARGE K: one numpy matmul per Arrow
+    batch (``mapInPandas``) against the broadcast codebook, instead of
+    K unrolled cosine expressions. The expression form is the oracle
+    path and wins for small K (pure codegen, zero Python), but its
+    plan grows with K*dim literals — planning alone was ~5 s at K=16
+    and a 100-TB SemDeDup wants K ~ 10^4-10^5 (cluster size is the
+    pair cap), where only a batched BLAS argmax is viable. Centroids
+    are L2-normalized ONCE on the driver, so per-row work is one
+    (batch x dim)@(dim x K) product + argmax — same argmax as
+    cosine since |v| is constant within a row; numpy argmax is
+    first-max, matching array_position's first-wins tie-break (exact
+    ties at different float-summation order can still differ in the
+    last ulp; the expr path stays the oracle for that reason).
+    -> (id, v array<double>, list_id int, nrm double) — the same
+    internal shape semantic_dedup's self-join consumes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # dim x K
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nrm = np.sqrt((V * V).sum(axis=1))
+            lid = (V @ Cn).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(),
+                    "v": list(V),
+                    "list_id": lid.astype("int32"),
+                    "nrm": nrm,
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        batches, schema="id long, v array<double>, list_id int, nrm double"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication", arXiv:2303.09540):
@@ -247,18 +297,30 @@ def semantic_dedup(
     Norms are precomputed once per row, pairs carry ids only. On a
     cluster, set a reliable checkpoint dir (same rule as
     dedup.connected_components).
+
+    ``assign``: 'expr' = unrolled JVM cosine argmax (the oracle path,
+    plan size grows with K*dim); 'batched' = Arrow-batch numpy matmul
+    (assign_codebook_batched — the large-K path); 'auto' switches to
+    batched above K=32, where expression-plan growth starts to beat
+    the Python-stage overhead.
     """
     from .dedup import _truncate_lineage
 
+    if assign not in ("auto", "expr", "batched"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    if assign == "auto":
+        assign = "batched" if len(centroids) > 32 else "expr"
     v = F.col(vec_col).cast("array<double>")
-    assigned = _truncate_lineage(
-        df.select(
+    if assign == "batched":
+        raw = assign_codebook_batched(df, centroids, id_col, vec_col)
+    else:
+        raw = df.select(
             F.col(id_col).alias("id"),
             v.alias("v"),
             ivf_assign(F.col(vec_col), centroids).alias("list_id"),
             norm(v).alias("nrm"),
         )
-    )
+    assigned = _truncate_lineage(raw)
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

@@ -578,3 +578,31 @@ def test_nfc_normalization(spark):
     }
     assert out[1] == "caf\u00e9 na\u00efve"  # composed forms
     assert out[2] == "plain" and out[3] is None
+
+
+def test_assign_codebook_batched_matches_expr(spark):
+    """The numpy-matmul assignment (large-K path) must agree with the
+    JVM expression argmax on real embeddings, and semantic_dedup must
+    produce identical output through either path."""
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = S.ivf_centroids(embs, n_lists=16, iterations=0)
+    expr = {
+        r["id"]: r["list_id"]
+        for r in embs.select(
+            F.col("vec_id").alias("id"),
+            S.ivf_assign(F.col("embedding"), cents).alias("list_id"),
+        ).collect()
+    }
+    batched = {
+        r["id"]: r["list_id"]
+        for r in S.assign_codebook_batched(embs, cents).collect()
+    }
+    assert expr == batched
+    out_e = sorted(
+        map(tuple, S.semantic_dedup(embs, cents, 0.3, assign="expr").collect())
+    )
+    out_b = sorted(
+        map(tuple,
+            S.semantic_dedup(embs, cents, 0.3, assign="batched").collect())
+    )
+    assert out_e == out_b and out_e
