@@ -231,7 +231,10 @@ def redact_pii(col: Column) -> Column:
 URL_SCHEME_RE = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 URL_HOSTPORT_RE = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 URL_REST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$"
-URL_TRACKING_RE = "(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)=[^&]*"
+#: anchored on the preceding ?/& (kept via backref) so a REAL param
+#: merely ending in a tracking name ('href=', 'prefref=') never
+#: matches the 'ref' alternative as a substring
+URL_TRACKING_RE = "([?&])(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)=[^&]*"
 
 
 def url_scheme(col: Column) -> Column:
@@ -263,7 +266,7 @@ def canonical_url(col: Column) -> Column:
     the ~duplicate-fetch rate of a real crawl."""
     u0 = F.regexp_replace(col, "#.*$", "")
     rest = F.regexp_extract(u0, URL_REST_RE, 1)
-    rest = F.regexp_replace(rest, URL_TRACKING_RE, "")
+    rest = F.regexp_replace(rest, URL_TRACKING_RE, "$1")
     rest = F.regexp_replace(rest, "&+", "&")
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, "[?&]+$", "")

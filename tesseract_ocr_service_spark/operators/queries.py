@@ -1236,7 +1236,7 @@ def _sql_url_dedup() -> str:
         f"ELSE {hp} END, '^www\\.', '')"
     )
     rest = f"regexp_extract(url, '{T.URL_REST_RE}', 1)"
-    rest = f"regexp_replace({rest}, '{T.URL_TRACKING_RE}', '', 'g')"
+    rest = f"regexp_replace({rest}, '{T.URL_TRACKING_RE}', '\\1', 'g')"
     rest = f"regexp_replace({rest}, '&+', '&', 'g')"
     rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
     rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"

@@ -525,6 +525,8 @@ def test_canonical_url_rules(spark):
         (7, "https://news.example.com:8443/a"),  # NON-default port kept
         (8, "https://news.example.com"),  # empty path -> '/'
         (9, "https://news.example.com/A"),  # path case preserved
+        # 'href' must NOT match the 'ref' alternative as a substring
+        (10, "https://news.example.com/a?href=tw&utm_x=1"),
     ]
     df = spark.createDataFrame(rows, ["i", "u"])
     got = {
@@ -543,6 +545,7 @@ def test_canonical_url_rules(spark):
     assert got[7][1] == "news.example.com:8443"
     assert got[8][0] == "https://news.example.com/"
     assert got[9][0] == "https://news.example.com/A"  # != got[1]
+    assert got[10][0] == "https://news.example.com/a?href=tw"
     assert all(h == "news.example.com" for i, (_, h) in got.items()
                if i not in (7,))
 
