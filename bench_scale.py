@@ -397,10 +397,13 @@ def sf1_section(spark) -> dict:
             "list_id"
         ).agg(F.count("*").alias("m"))
         cand_sem = _pair_sum(occ_sem, "m")
+        # assign='batched' EXPLICITLY: auto would pick expr at the 1x
+        # tier (K=8 <= 32), and the 10x/1x wall ratio must compare one
+        # implementation with itself, not expr vs batched
         w, nkeep = _timed(
-            lambda: S.semantic_dedup(embs, cents, threshold=0.9).where(
-                "keep = 1"
-            )
+            lambda: S.semantic_dedup(
+                embs, cents, threshold=0.9, assign="batched"
+            ).where("keep = 1")
         )
         sec["semantic_dedup"] = {
             "k": k_sem,

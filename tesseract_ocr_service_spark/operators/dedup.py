@@ -421,8 +421,17 @@ def dedup_spans(
         last.isNotNull(),
         F.concat_ws(" ", "tok", *[f"t{j}" for j in range(1, k)]),
     )
+    # NULL-ness must be reasserted around the hash: Spark hash
+    # functions SKIP null children and return the seed (xxhash64(NULL)
+    # = 42), which would silently key every tail row to '42' — the
+    # exact single-partition skew wall the sentinel exists to prevent.
+    keyed = (
+        F.when(gram.isNotNull(), F.xxhash64(gram).cast("string"))
+        if hashed
+        else gram
+    )
     key = F.coalesce(
-        F.xxhash64(gram).cast("string") if hashed else gram,
+        keyed,
         # sentinel: unique per row, occ == 1, never a dup start
         F.concat_ws("\x00", F.lit("\x00"), F.col("id"), F.col("pos")),
     )

@@ -209,9 +209,19 @@ def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
     expression tree doubles per centroid — K=16 OOMed the driver at
     ANALYSIS time before a single row moved."""
     v = vec_col.cast("array<double>")
+    # nanvl(-2): a zero-norm (degenerate) centroid yields cosine NaN,
+    # and Spark orders NaN ABOVE every double (array_max picks it,
+    # array_position matches it under NaN=NaN semantics) — without the
+    # guard every vector would assign to the degenerate centroid,
+    # collapsing the codebook into one mega-cluster and making the
+    # within-cluster self-join quadratic. -2 < any real cosine, so a
+    # degenerate centroid simply never wins.
     sims = F.array(
         *[
-            cosine(v, F.array(*[F.lit(float(x)) for x in c]))
+            F.nanvl(
+                cosine(v, F.array(*[F.lit(float(x)) for x in c])),
+                F.lit(-2.0),
+            )
             for c in centroids
         ]
     )
@@ -244,7 +254,12 @@ def assign_codebook_batched(
     import pandas as pd
 
     C = np.asarray(centroids, dtype=np.float64)
-    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # dim x K
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    # degenerate (zero-norm) centroids must never win the argmax —
+    # same -2 guard as ivf_assign's nanvl (0/0 would make the whole
+    # column NaN and np.argmax returns the first NaN)
+    degenerate = (cn == 0.0).ravel()
+    Cn = (C / np.where(cn == 0.0, 1.0, cn)).T  # dim x K
 
     def batches(it):
         for pdf in it:
@@ -252,7 +267,10 @@ def assign_codebook_batched(
                 continue
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             nrm = np.sqrt((V * V).sum(axis=1))
-            lid = (V @ Cn).argmax(axis=1)
+            sims = V @ Cn
+            if degenerate.any():
+                sims[:, degenerate] = -2.0
+            lid = sims.argmax(axis=1)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(),
@@ -340,8 +358,13 @@ def semantic_dedup(
         .distinct()
         .withColumn("_drop", F.lit(1))
     )
+    # project BEFORE the join: `dropped` can exceed the broadcast
+    # threshold on dup-heavy corpora, and a sort-merge join would then
+    # shuffle every row's full embedding payload by id just to discard
+    # it in the select (12 bytes/row vs ~500)
     return (
-        assigned.join(dropped, "id", "left")
+        assigned.select("id", "list_id")
+        .join(dropped, "id", "left")
         .select(
             F.col("id").alias(id_col),
             "list_id",
