@@ -1336,6 +1336,128 @@ def _sql_semantic_dedup(n_lists: int = SEM_K, t: float = SEM_T) -> str:
     """
 
 
+DSIR_BUCKETS = 256
+
+
+def dsir_select(spark, sf_dir):
+    """DSIR importance selection: target distribution = English docs,
+    keep the top half of the corpus by hashed-bigram log-likelihood
+    ratio. md5 hash mode = the oracle-replayable path (production
+    default is xxhash64)."""
+    from . import dsir as DS
+
+    return DS.dsir_importance(
+        _docs(spark, sf_dir),
+        target=F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS,
+        keep_frac=0.5,
+        hash_mode="md5",
+    )
+
+
+def quality_linear_score(spark, sf_dir):
+    """Hashed linear classifier apply (fastText/CCNet quality-model
+    shape): deterministic synthetic weight vector over the same hashed
+    gram space — w_micro[b] = (b * 2654435761) % 2001 - 1000 (a
+    Knuth-multiplicative spread; the env ships no trained model, so
+    the weights are planted, the PLUMBING — hashed features, broadcast
+    weight join, per-doc integer sum, sign label — is the real op)."""
+    from . import dsir as DS
+
+    spark_b = spark.range(DSIR_BUCKETS).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias("w_micro"),
+    )
+    return DS.hashed_linear_score(
+        _docs(spark, sf_dir),
+        weights=spark_b,
+        n_buckets=DSIR_BUCKETS,
+        hash_mode="md5",
+    )
+
+
+def _sql_gram_tfb() -> str:
+    """Shared CTE chain: normalized uni+bigram bag -> md5 bucket counts
+    (matches dsir.hashed_gram_counts in md5 mode)."""
+    return f"""
+norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+uni AS (SELECT doc_id, unnest(toks) AS g FROM norm),
+bi AS (
+    SELECT doc_id,
+           unnest([toks[i] || ' ' || toks[i + 1]
+                   for i in generate_series(1, len(toks) - 1)]) AS g
+    FROM norm WHERE len(toks) >= 2
+),
+grams AS (SELECT doc_id, g FROM uni UNION ALL SELECT doc_id, g FROM bi),
+tfb AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(g), 1, 8))::BIGINT % {DSIR_BUCKETS}
+               AS bucket,
+           count(*) AS cnt
+    FROM grams GROUP BY 1, 2
+)
+"""
+
+
+def _sql_dsir_select() -> str:
+    b = DSIR_BUCKETS
+    return f"""
+        WITH {_sql_gram_tfb()},
+        flags AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target
+            FROM documents
+        ),
+        bt AS (
+            SELECT bucket, sum(cnt) AS raw_cnt,
+                   sum(cnt * is_target) AS tgt_cnt
+            FROM tfb JOIN flags USING (doc_id) GROUP BY bucket
+        ),
+        tot AS (
+            SELECT sum(raw_cnt) AS r_tot, sum(tgt_cnt) AS t_tot FROM bt
+        ),
+        ratio AS (
+            SELECT bucket,
+                   CAST(round(1e6 * (
+                       ln((tgt_cnt + 1.0) / (t_tot + {b}))
+                       - ln((raw_cnt + 1.0) / (r_tot + {b}))
+                   )) AS BIGINT) AS w_micro
+            FROM bt CROSS JOIN tot
+        ),
+        scored AS (
+            SELECT tfb.doc_id, sum(cnt * w_micro) AS s
+            FROM tfb JOIN ratio USING (bucket) GROUP BY 1
+        ),
+        scores AS (
+            SELECT f.doc_id, f.is_target,
+                   CAST(coalesce(s, 0) AS BIGINT) AS score_micro
+            FROM flags f LEFT JOIN scored USING (doc_id)
+        ),
+        thr AS (SELECT quantile_cont(score_micro, 0.5) AS t FROM scores)
+        SELECT doc_id, is_target, score_micro,
+               CASE WHEN score_micro >= t THEN 1 ELSE 0 END AS keep
+        FROM scores CROSS JOIN thr
+    """
+
+
+def _sql_quality_linear() -> str:
+    return f"""
+        WITH {_sql_gram_tfb()},
+        wts AS (
+            SELECT b AS bucket, (b * 2654435761) % 2001 - 1000 AS w_micro
+            FROM generate_series(0, {DSIR_BUCKETS - 1}) t(b)
+        ),
+        scored AS (
+            SELECT doc_id, sum(cnt * w_micro) AS s
+            FROM tfb JOIN wts USING (bucket) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s, 0) AS BIGINT) AS score_micro,
+               CASE WHEN coalesce(s, 0) >= 0 THEN 1 ELSE 0 END AS label
+        FROM documents d LEFT JOIN scored USING (doc_id)
+    """
+
+
 SPARK_QUERIES = {
     "quality_filter": quality_filter,
     "dedup_spans_removed": dedup_spans_removed,
@@ -1370,6 +1492,8 @@ SPARK_QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "image_features": image_features_fake,
     "audio_features": audio_features_fake,
+    "dsir_select": dsir_select,
+    "quality_linear_score": quality_linear_score,
 }
 
 ORACLES = {
@@ -1397,6 +1521,8 @@ ORACLES = {
     "neardup_components": _sql_neardup_components(),
     "neardup_components_star": _sql_neardup_components(),
     "repetition_stats": _sql_repetition(),
+    "dsir_select": _sql_dsir_select(),
+    "quality_linear_score": _sql_quality_linear(),
     "embedding_neardups": _sql_embedding_neardups(),
     "embedding_neardups_auto": _sql_embedding_neardups(8),
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),

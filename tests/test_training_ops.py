@@ -609,3 +609,63 @@ def test_assign_codebook_batched_matches_expr(spark):
             S.semantic_dedup(embs, cents, 0.3, assign="batched").collect())
     )
     assert out_e == out_b and out_e
+
+
+def test_dsir_importance_separates_target(spark):
+    """Planted two-vocabulary corpus: every target-vocab doc must
+    outscore every raw-vocab doc (the importance ratio is exactly the
+    vocabulary log-odds here), the keep threshold must split at the
+    median, and NULL-text docs must score 0, not vanish."""
+    from tesseract_ocr_service_spark.operators import dsir as DS
+
+    good = [(i, "alpha beta gamma delta alpha beta gamma") for i in range(20)]
+    bad = [(100 + i, "zork quux blarg snarf zork quux blarg") for i in range(20)]
+    mixed = [(200, "alpha beta zork quux")]
+    empty = [(300, None)]
+    df = spark.createDataFrame(
+        good + bad + mixed + empty, ["doc_id", "text"]
+    )
+    out = DS.dsir_importance(
+        df, target=F.col("doc_id") < 100, n_buckets=64, keep_frac=0.5
+    ).collect()
+    by = {r["doc_id"]: r for r in out}
+    assert len(by) == 42
+    g_min = min(by[i]["score_micro"] for i in range(20))
+    b_max = max(by[100 + i]["score_micro"] for i in range(20))
+    assert g_min > b_max
+    assert all(by[i]["keep"] == 1 for i in range(20))
+    assert all(by[100 + i]["keep"] == 0 for i in range(20))
+    assert by[300]["score_micro"] == 0
+    kept = sum(r["keep"] for r in out)
+    assert 20 <= kept <= 22
+    assert all(r["is_target"] in (0, 1) for r in out)
+
+
+def test_hashed_linear_score_uniform_weights(spark):
+    """With every bucket weight = +1 the score is exactly the gram
+    count (2*ntok - 1 for ntok >= 1), independent of hashing — pins
+    the feature bag (uni+bigram multiplicity) and the left-join
+    re-attachment of gramless docs."""
+    from tesseract_ocr_service_spark.operators import dsir as DS
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    w_pos = spark.range(64).select(
+        F.col("id").alias("bucket"), F.lit(1).alias("w_micro")
+    )
+    got = {
+        r["doc_id"]: (r["score_micro"], r["label"])
+        for r in DS.hashed_linear_score(df, w_pos, n_buckets=64).collect()
+    }
+    # "aa bb cc": 3 unigrams + 2 bigrams = 5; "aa": 1; empty/null: 0
+    assert got == {1: (5, 1), 2: (1, 1), 3: (0, 1), 4: (0, 1)}
+    w_neg = spark.range(64).select(
+        F.col("id").alias("bucket"), F.lit(-1).alias("w_micro")
+    )
+    got_n = {
+        r["doc_id"]: (r["score_micro"], r["label"])
+        for r in DS.hashed_linear_score(df, w_neg, n_buckets=64).collect()
+    }
+    assert got_n == {1: (-5, 0), 2: (-1, 0), 3: (0, 1), 4: (0, 1)}
