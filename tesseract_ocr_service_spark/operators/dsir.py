@@ -197,6 +197,126 @@ def dsir_importance(
     )
 
 
+def hashed_bigram_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Adjacent-token bigram rows, both sides hashed: (id, b1, b2) —
+    one row per bigram occurrence (multiplicity kept). Docs with < 2
+    tokens contribute no rows. Same explode + window-lead single-pass
+    shape as :func:`hashed_gram_counts`."""
+    norm = T.normalized(F.coalesce(F.col(text_col), F.lit("")))
+    toks = T.tokens(norm)
+    pos_toks = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    return (
+        pos_toks.select(
+            "id", "tok", F.lead("tok", 1).over(w).alias("_t1")
+        )
+        .where(F.col("_t1").isNotNull())
+        .select(
+            "id",
+            _bucket(F.col("tok"), n_buckets, hash_mode).alias("b1"),
+            _bucket(F.col("_t1"), n_buckets, hash_mode).alias("b2"),
+        )
+    )
+
+
+def perplexity_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    keep_frac: float = 0.5,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """CCNet-style LM perplexity filtering (Wenzek et al. 2020, "CCNet:
+    Extracting high quality monolingual datasets from web crawl data",
+    arXiv:1911.00359) with a HASHED bigram LM standing in for KenLM
+    (no model artifacts ship in this environment; hashing also bounds
+    the model at n_buckets^2 rows, which is what makes the scoring
+    join broadcast-able at any corpus size).
+
+    The LM is fit on the corpus itself: p(b2 | b1) = (c(b1,b2) + 1) /
+    (c(b1,*) + B), scored as exact micro-integer log-probs. Output:
+    (id, logprob_micro, n_bigrams, mean_micro, keep) where mean_micro
+    is the per-bigram mean log-prob (higher = more fluent under the
+    corpus LM = lower perplexity) and keep marks the top ``keep_frac``
+    by mean_micro — the CCNet head/middle cut. Docs with < 2 tokens
+    have mean_micro = 0 and ride the threshold like everyone else.
+
+    Scale shape: the bigram-pair table is persisted — it feeds the
+    model aggregate AND the scoring join (two consumers; CLAUDE.md
+    rule), and the model tables (<= B + B^2 rows) are lineage-truncated
+    and broadcast. The threshold is one exact-percentile driver scalar
+    (keep_frac = 0.5 pins the interpolation fraction; use
+    approx_percentile at 10^12 rows). Scoring a DIFFERENT corpus than
+    the one the LM was fit on needs a left join with the unseen-pair
+    smoothing weight round(1e6 * ln(1/(c1+B))) per b1 — self-scoring
+    (this op) only ever sees observed pairs, so the inner join is
+    exact."""
+    from pyspark import StorageLevel
+
+    from .dedup import _truncate_lineage
+
+    B = n_buckets
+    pairs = hashed_bigram_pairs(
+        df, id_col, text_col, n_buckets, hash_mode
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cb = _truncate_lineage(
+        pairs.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
+    )
+    c1 = cb.groupBy("b1").agg(F.sum("c12").alias("c1"))
+    model = cb.join(c1, "b1").select(
+        "b1",
+        "b2",
+        F.round(
+            F.lit(1e6)
+            * F.log((F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.lit(B)))
+        )
+        .cast("bigint")
+        .alias("w_micro"),
+    )
+    scored = (
+        pairs.join(F.broadcast(model), ["b1", "b2"])
+        .groupBy("id")
+        .agg(
+            F.sum("w_micro").alias("lp"), F.count("*").alias("nb")
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    scores = _truncate_lineage(
+        ids.join(scored, "id", "left").select(
+            "id",
+            F.coalesce(F.col("lp"), F.lit(0)).alias("logprob_micro"),
+            F.coalesce(F.col("nb"), F.lit(0)).alias("n_bigrams"),
+            F.when(
+                F.coalesce(F.col("nb"), F.lit(0)) > 0,
+                F.round(F.col("lp") / F.col("nb")),
+            )
+            .otherwise(0)
+            .cast("bigint")
+            .alias("mean_micro"),
+        )
+    )
+    pairs.unpersist()
+    thr = scores.agg(
+        F.expr(f"percentile(mean_micro, {1.0 - keep_frac})").alias("t")
+    ).first()["t"]
+    return scores.select(
+        F.col("id").alias(id_col),
+        "logprob_micro",
+        "n_bigrams",
+        "mean_micro",
+        (F.col("mean_micro") >= F.lit(float(thr))).cast("int").alias("keep"),
+    )
+
+
 def hashed_linear_score(
     df: DataFrame,
     weights: DataFrame,

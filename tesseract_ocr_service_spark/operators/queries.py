@@ -1376,6 +1376,64 @@ def quality_linear_score(spark, sf_dir):
     )
 
 
+def perplexity_filter_q(spark, sf_dir):
+    """CCNet-style perplexity filter via a hashed bigram LM fit on the
+    corpus itself; md5 hash mode = the oracle-replayable path."""
+    from . import dsir as DS
+
+    return DS.perplexity_filter(
+        _docs(spark, sf_dir),
+        n_buckets=DSIR_BUCKETS,
+        keep_frac=0.5,
+        hash_mode="md5",
+    )
+
+
+def _sql_perplexity() -> str:
+    b = DSIR_BUCKETS
+    h = "('0x' || substr(md5({}), 1, 8))::BIGINT % " + str(b)
+    return f"""
+        WITH norm AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+        bi AS (
+            SELECT doc_id,
+                   unnest([toks[i] for i in
+                           generate_series(1, len(toks) - 1)]) AS w1,
+                   unnest([toks[i + 1] for i in
+                           generate_series(1, len(toks) - 1)]) AS w2
+            FROM norm WHERE len(toks) >= 2
+        ),
+        bb AS (
+            SELECT doc_id, {h.format('w1')} AS b1, {h.format('w2')} AS b2
+            FROM bi
+        ),
+        cb AS (SELECT b1, b2, count(*) AS c12 FROM bb GROUP BY 1, 2),
+        c1 AS (SELECT b1, sum(c12) AS c1 FROM cb GROUP BY 1),
+        model AS (
+            SELECT b1, b2,
+                   CAST(round(1e6 * ln((c12 + 1.0) / (c1 + {b})))
+                        AS BIGINT) AS w_micro
+            FROM cb JOIN c1 USING (b1)
+        ),
+        scored AS (
+            SELECT doc_id, sum(w_micro) AS lp, count(*) AS nb
+            FROM bb JOIN model USING (b1, b2) GROUP BY 1
+        ),
+        scores AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(lp, 0) AS BIGINT) AS logprob_micro,
+                   CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(CASE WHEN coalesce(nb, 0) > 0
+                             THEN round(lp / nb) ELSE 0 END
+                        AS BIGINT) AS mean_micro
+            FROM documents d LEFT JOIN scored USING (doc_id)
+        ),
+        thr AS (SELECT quantile_cont(mean_micro, 0.5) AS t FROM scores)
+        SELECT doc_id, logprob_micro, n_bigrams, mean_micro,
+               CASE WHEN mean_micro >= t THEN 1 ELSE 0 END AS keep
+        FROM scores CROSS JOIN thr
+    """
+
+
 def _sql_gram_tfb() -> str:
     """Shared CTE chain: normalized uni+bigram bag -> md5 bucket counts
     (matches dsir.hashed_gram_counts in md5 mode)."""
@@ -1494,6 +1552,7 @@ SPARK_QUERIES = {
     "audio_features": audio_features_fake,
     "dsir_select": dsir_select,
     "quality_linear_score": quality_linear_score,
+    "perplexity_filter": perplexity_filter_q,
 }
 
 ORACLES = {
@@ -1523,6 +1582,7 @@ ORACLES = {
     "repetition_stats": _sql_repetition(),
     "dsir_select": _sql_dsir_select(),
     "quality_linear_score": _sql_quality_linear(),
+    "perplexity_filter": _sql_perplexity(),
     "embedding_neardups": _sql_embedding_neardups(),
     "embedding_neardups_auto": _sql_embedding_neardups(8),
     "ann_ivf_topk": _sql_ann_ivf(IVF_LISTS, IVF_PROBE),

@@ -669,3 +669,26 @@ def test_hashed_linear_score_uniform_weights(spark):
         for r in DS.hashed_linear_score(df, w_neg, n_buckets=64).collect()
     }
     assert got_n == {1: (-5, 0), 2: (-1, 0), 3: (0, 1), 4: (0, 1)}
+
+
+def test_perplexity_filter_bigram_lm(spark):
+    """Docs made of the corpus's dominant bigrams must get a higher
+    mean log-prob (lower perplexity) than a doc of one-off bigrams;
+    short docs (< 2 tokens) get mean 0 and still appear."""
+    from tesseract_ocr_service_spark.operators import dsir as DS
+
+    common = [(i, "the cat sat on the mat " * 4) for i in range(10)]
+    rare = [(50, "zyx wvu tsr qpo nml kji")]
+    short = [(60, "one"), (61, None)]
+    df = spark.createDataFrame(common + rare + short, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in DS.perplexity_filter(
+        df, n_buckets=128, keep_frac=0.5
+    ).collect()}
+    assert len(out) == 13
+    assert all(
+        out[i]["mean_micro"] > out[50]["mean_micro"] for i in range(10)
+    )
+    assert out[50]["keep"] == 0 and all(out[i]["keep"] == 1 for i in range(10))
+    for d in (60, 61):
+        assert out[d]["n_bigrams"] == 0 and out[d]["mean_micro"] == 0
+        assert out[d]["logprob_micro"] == 0
