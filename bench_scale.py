@@ -220,6 +220,7 @@ def _deep_tier(spark, D, docs, n: int) -> dict:
 
 def sf1_section(spark) -> dict:
     from tesseract_ocr_service_spark.operators import dedup as D
+    from tesseract_ocr_service_spark.operators import dsir as DS
     from tesseract_ocr_service_spark.operators import similarity as S
 
     out: dict = {"scales": {k: {"n_docs": n, "n_vecs": int(n * VEC_FRAC)} for k, n in SCALES.items()}}
@@ -413,6 +414,23 @@ def sf1_section(spark) -> dict:
             "kept": nkeep,
         }
 
+        # --- hashed-model text ops (round 4): DSIR selection and the
+        # bigram-LM perplexity cut. Both are two-tokenize-pass shapes
+        # over a persisted per-doc feature table with broadcast-sized
+        # models (B / B^2 rows), so wall should track N ~linearly; the
+        # eager percentile/total actions run inside the constructor, so
+        # the thunk times construction + action together (CLAUDE.md).
+        w, nkeep = _timed(
+            lambda: DS.dsir_importance(
+                docs, target=F.col("doc_id") % 2 == 0
+            ).where("keep = 1")
+        )
+        sec["dsir"] = {"wall": w, "kept": nkeep}
+        w, nkeep = _timed(
+            lambda: DS.perplexity_filter(docs).where("keep = 1")
+        )
+        sec["perplexity"] = {"wall": w, "kept": nkeep}
+
         out[tag] = sec
 
     # --- 100x tier (500k docs): the PRODUCTION dedup path only
@@ -456,6 +474,8 @@ def sf1_section(spark) -> dict:
         ("simhash_multi_index", "wall_pairs"),
         ("embedding_lsh_p8", "wall"),
         ("semantic_dedup", "wall"),
+        ("dsir", "wall"),
+        ("perplexity", "wall"),
     ):
         lo, hi = out["1x"][op][field], out["10x"][op][field]
         ratios[op] = round(hi / lo, 2) if lo else None
