@@ -1,0 +1,78 @@
+"""End-to-end test for jobs/build_corpus.py — the composed curation
+pipeline (quality -> dedup -> perplexity -> DSIR -> temperature sample
+-> pack -> sharded write + manifest). Pins the funnel's monotonicity,
+the manifest's internal consistency, and full rerun determinism (the
+idempotent-retry contract: same input -> byte-identical shard
+membership, digests included)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, out: str) -> dict:
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        import build_corpus as J
+    finally:
+        sys.path.pop(0)
+    args = J.parse_args(
+        [
+            "--docs", SF,
+            "--out", out,
+            "--target-lang", "en",
+            "--temperature-sample",
+            "--shards", "4",
+        ]
+    )
+    return J.build(spark, args)
+
+
+@pytest.mark.slow
+def test_build_corpus_funnel_and_determinism(spark, tmp_path):
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    f1 = _run(spark, out1)
+    f2 = _run(spark, out2)
+    assert f1 == f2
+
+    # funnel: every stage can only shrink the corpus, nothing vanishes
+    stages = [
+        "input", "quality_kept", "dedup_kept", "perplexity_kept",
+        "dsir_kept", "sampled", "packed_docs",
+    ]
+    assert list(f1.keys()) == stages
+    vals = [f1[s] for s in stages]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[0] == 500 and vals[-1] > 0
+    assert f1["sampled"] == f1["packed_docs"]
+
+    m1 = sorted(
+        (r.asDict()
+         for r in spark.read.parquet(f"{out1}/_manifest").collect()),
+        key=lambda d: d["shard"],
+    )
+    m2 = sorted(
+        (r.asDict()
+         for r in spark.read.parquet(f"{out2}/_manifest").collect()),
+        key=lambda d: d["shard"],
+    )
+    assert m1 == m2  # identical digests = identical shard membership
+    assert sum(d["n_docs"] for d in m1) == f1["packed_docs"]
+
+    # the data itself: every surviving doc is in exactly one shard,
+    # pack ids are dense-ish next-fit bins within each shard
+    data = spark.read.parquet(f"{out1}/data")
+    assert data.count() == f1["packed_docs"]
+    assert data.select("doc_id").distinct().count() == f1["packed_docs"]
+    rows = data.select("shard", "pack_id", "n_tok").collect()
+    assert all(r["pack_id"] >= 0 for r in rows)
+    # only English docs survive the lang-targeted DSIR + sampling? No —
+    # DSIR keeps high-scoring docs of ANY lang; just check lang column
+    # survived the pipeline for downstream mixing
+    assert "lang" in data.columns
