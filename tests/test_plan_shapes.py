@@ -169,3 +169,35 @@ def test_pack_sequences_window_is_sharded(spark):
     plan = _plan(R.pack_sequences(spark, "/root/testdata/sf0.001"))
     assert "Window" in plan
     assert "No Partition Defined" not in plan, plan
+
+
+def test_hashed_gram_counts_one_scan_one_exchange(spark):
+    """The DSIR/perplexity feature pass: tokenize -> posexplode ->
+    window-lead -> gram explode -> bucket groupBy must stay ONE scan
+    and ONE exchange (the groupBy's (id, ...) key reuses the window's
+    per-id hash partitioning), with zero Python stages."""
+    from tesseract_ocr_service_spark.operators import dsir as DS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(DS.hashed_gram_counts(docs))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hashed_linear_score_weight_join_is_broadcast(spark):
+    """The model-apply join must broadcast the weight vector, never
+    shuffle the gram table onto bucket; the only sort-merge join
+    allowed is the final slim id re-attach."""
+    from pyspark.sql import functions as F
+
+    from tesseract_ocr_service_spark.operators import dsir as DS
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = spark.range(256).select(
+        F.col("id").alias("bucket"), F.lit(1).alias("w_micro")
+    )
+    plan = _plan(DS.hashed_linear_score(docs, w))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "Cartesian" not in plan
