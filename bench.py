@@ -189,13 +189,25 @@ def main() -> None:
     # 1. headline extraction
     wall = _extract_wall(spark)
 
-    # 2. per-query timings at the sf dir
+    # 2. per-query timings at the sf dir. The CONSTRUCTOR runs inside
+    # the timed window: operators with eager fixed-point loops or
+    # checkpoint/percentile actions (dedup_corpus_kept, dsir_select,
+    # perplexity_filter, neardup_components) spend their wall at plan
+    # construction (CLAUDE.md), so timing only the final noop write
+    # would mis-attribute them as near-free. The warm pass absorbs
+    # JVM/codegen/scan-cache effects; the timed pass rebuilds the
+    # query from scratch.
     qtimes: dict[str, float] = {}
     for name, q in em.queries().items():
-        df = q(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()  # warm
+
+        def run_once():
+            q(spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        run_once()  # warm
         t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
+        run_once()
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
     # 2b. sf1 scale evidence: the dedup/similarity stack at 1x
