@@ -1320,3 +1320,57 @@ def neardup_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         df.select(F.col(id_col).alias("id")),
     ).select(F.col("id").alias("doc_id"), "component_id")
+
+
+def keep_best_per_component(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    score_col=None,
+    threshold: float = 0.7,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Quality-aware near-dup survivor selection: ONE doc per connected
+    component — the highest-scoring member (ties -> lowest id), the
+    FineWeb/Dolma retention rule, vs ``dedup_corpus``'s keep-min-id.
+
+    -> (doc_id, component_id, score): the kept doc per cluster
+    (singletons included — every component yields exactly one row).
+
+    ``score_col`` defaults to the nonempty-whitespace-token count
+    (keep the longest member); pass any deterministic Column to rank
+    by a model score instead (e.g. ``dsir.hashed_linear_score``).
+
+    Plan shape: the component table joins a one-pass per-doc score
+    projection on doc_id, then ONE row_number window PARTITIONED by
+    component_id — never a global sort, and the window partitions are
+    bounded by near-dup cluster size (small by construction: the LSH
+    verify threshold caps how many docs can be mutually similar).
+
+    Reference analog: the reference's store keeps whichever upload it
+    last saw for a content hash (ocr/main.py result_store put); a
+    training pipeline must instead pick the best cluster member.
+    """
+    comp = neardup_components(
+        df, id_col, text_col, threshold=threshold, algorithm=algorithm
+    )
+    score = (
+        score_col
+        if score_col is not None
+        else F.size(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                lambda x: x != "",
+            )
+        ).cast("bigint")
+    )
+    scored = df.select(F.col(id_col).alias("doc_id"), score.alias("score"))
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "component_id", "score")
+    )

@@ -481,6 +481,28 @@ def neardup_components_star(spark, sf_dir):
     )
 
 
+def neardup_keep_best(spark, sf_dir):
+    """Quality-aware survivor per near-dup cluster (FineWeb/Dolma
+    retention): keep the LONGEST member (nonempty-token count, ties ->
+    lowest id) of each connected component. One row_number window
+    PARTITIONED by component_id — never a global sort."""
+    return D.keep_best_per_component(_docs(spark, sf_dir), threshold=0.7)
+
+
+def neardup_cluster_sizes(spark, sf_dir):
+    """Dedup-run telemetry: histogram of near-dup cluster sizes
+    (component size -> number of components). Two partial-aggregating
+    groupBys over the component table; the heavy lifting is the
+    components fixed-point, shared shape with neardup_components."""
+    comp = D.neardup_components(_docs(spark, sf_dir), threshold=0.7)
+    return (
+        comp.groupBy("component_id")
+        .agg(F.count("*").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
+
+
 IVF_LISTS = 8
 IVF_PROBE = 2
 
@@ -851,11 +873,12 @@ def _sql_dedup_corpus_kept(
     """
 
 
-def _sql_neardup_components(
+def _sql_neardup_cte_chain(
     threshold: float = 0.7, k: int = 16, bands: int = 4
 ) -> str:
-    """DuckDB replay of neardup_components: the same md5 minhash-LSH
-    verified pair graph, closed transitively with a RECURSIVE CTE;
+    """Shared CTE chain for every components-based oracle (caller must
+    open with WITH RECURSIVE): the md5 minhash-LSH verified pair graph
+    closed transitively, ending in ``comp(doc_id, component_id)`` where
     component_id = min doc_id reachable."""
     mins = ", ".join(
         f"list_min(list_transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
@@ -876,7 +899,6 @@ def _sql_neardup_components(
         for i in range(k)
     )
     return f"""
-        WITH RECURSIVE
         {_shingle_ctes("documents").lstrip()},
         sigs AS (SELECT doc_id, {mins} FROM shingled),
         banded AS ({band_rows}),
@@ -902,9 +924,65 @@ def _sql_neardup_components(
             SELECT doc_id AS id, doc_id AS label FROM documents
             UNION
             SELECT e.d AS id, r.label FROM reach r JOIN edges e ON e.s = r.id
+        ),
+        comp AS (
+            SELECT id AS doc_id, min(label) AS component_id
+            FROM reach GROUP BY id
         )
-        SELECT id AS doc_id, min(label) AS component_id
-        FROM reach GROUP BY id
+    """
+
+
+def _sql_neardup_components(
+    threshold: float = 0.7, k: int = 16, bands: int = 4
+) -> str:
+    """DuckDB replay of neardup_components: the same md5 minhash-LSH
+    verified pair graph, closed transitively with a RECURSIVE CTE;
+    component_id = min doc_id reachable."""
+    return f"""
+        WITH RECURSIVE
+        {_sql_neardup_cte_chain(threshold, k, bands).strip()}
+        SELECT doc_id, component_id FROM comp
+    """
+
+
+def _sql_neardup_keep_best(
+    threshold: float = 0.7, k: int = 16, bands: int = 4
+) -> str:
+    """DuckDB replay of dedup.keep_best_per_component with the default
+    longest-member score: per component keep the doc with the max
+    nonempty-token count, ties -> lowest doc_id (QUALIFY row_number)."""
+    return rf"""
+        WITH RECURSIVE
+        {_sql_neardup_cte_chain(threshold, k, bands).strip()},
+        nw AS (
+            SELECT doc_id,
+                   len(list_filter(
+                       string_split_regex(coalesce(text, ''), '\s+'),
+                       x -> x <> '')) AS score
+            FROM documents
+        )
+        SELECT doc_id, component_id, CAST(score AS BIGINT) AS score
+        FROM comp JOIN nw USING (doc_id)
+        QUALIFY row_number() OVER (PARTITION BY component_id
+                                   ORDER BY score DESC, doc_id) = 1
+    """
+
+
+def _sql_neardup_cluster_sizes(
+    threshold: float = 0.7, k: int = 16, bands: int = 4
+) -> str:
+    """DuckDB replay of the cluster-size histogram: component size ->
+    number of components of that size (the dedup-telemetry query every
+    production run reports)."""
+    return f"""
+        WITH RECURSIVE
+        {_sql_neardup_cte_chain(threshold, k, bands).strip()}
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM (
+            SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY component_id
+        )
+        GROUP BY cluster_size
     """
 
 
@@ -1281,6 +1359,137 @@ def _sql_url_dedup() -> str:
     """
 
 
+#: host blocklist stand-in for the curated lists (UT1, adult/ad-tech
+#: domains) a RefinedWeb-style URL filter broadcasts cluster-wide.
+URL_BLOCKLIST = ["ads.example.com", "tracker.example.net"]
+#: path keywords (RefinedWeb's soft bad-word URL scoring, hard form)
+URL_BADPATH_RE = "(^|/)(casino|xxx|porn|gambl[a-z]*)(/|$)"
+
+
+def url_host_filter(spark, sf_dir):
+    """RefinedWeb-style URL curation over planted raw URLs: host
+    blocklist (tiny table -> BROADCAST left join, the only viable
+    shape at 10^12 rows), bad path keyword, digit-heavy host
+    (5*digits >= len(host), integer compare — no float crosses the
+    oracle), and over-long URL. reason = first matching rule in
+    severity order, NULL = keep.
+
+    Planted variants by doc_id % 6: clean / bad path / digit host /
+    long query / blocklisted host / tracking params (canonicalizes
+    clean — must be kept), so every rule fires deterministically and a
+    hash match proves real routing (CLAUDE.md planted-data rule)."""
+    docs = _docs(spark, sf_dir)
+    s = (F.col("doc_id") % 5).cast("string")
+    p = (F.col("doc_id") % 100).cast("string")
+    v = F.col("doc_id") % 6
+    base = F.concat(F.lit("news-"), s, F.lit(".example.com"))
+    raw = (
+        F.when(v == 1, F.concat(
+            F.lit("https://"), base, F.lit("/casino/"), p))
+        .when(v == 2, F.concat(
+            F.lit("https://h123456789.example.com/article/"), p))
+        .when(v == 3, F.concat(
+            F.lit("https://"), base, F.lit("/article/"), p,
+            F.lit("?pad="), F.lpad(p, 160, "x")))
+        .when(v == 4, F.concat(
+            F.lit("https://ads.example.com/article/"), p))
+        .when(v == 5, F.concat(
+            F.lit("https://www."), base, F.lit("/article/"), p,
+            F.lit("?utm_source=feed")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("/article/"), p))
+    )
+    urls = docs.select(
+        "doc_id", raw.alias("url"), T.url_host(raw).alias("host")
+    )
+    bl = spark.createDataFrame(
+        [(h,) for h in URL_BLOCKLIST], "host string"
+    ).withColumn("blocked", F.lit(1))
+    j = urls.join(F.broadcast(bl), "host", "left")
+    rest = F.regexp_extract("url", T.URL_REST_RE, 1)
+    digits = F.length("host") - F.length(
+        F.regexp_replace("host", "[0-9]", "")
+    )
+    reason = (
+        F.when(F.col("blocked") == 1, F.lit("host_blocklist"))
+        .when(rest.rlike(URL_BADPATH_RE), F.lit("path_keyword"))
+        .when(digits * 5 >= F.length("host"), F.lit("digit_host"))
+        .when(F.length("url") > 160, F.lit("url_too_long"))
+    )
+    return j.select(
+        "doc_id",
+        "host",
+        reason.alias("reason"),
+        F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("keep"),
+    )
+
+
+def _sql_url_host_filter() -> str:
+    """DuckDB replay of url_host_filter: same planted URLs, same host
+    normalization, a VALUES blocklist standing in for the broadcast
+    table, identical rule order."""
+    sch = f"lower(regexp_extract(url, '{T.URL_SCHEME_RE}', 1))"
+    hp = f"lower(regexp_extract(url, '{T.URL_HOSTPORT_RE}', 1))"
+    host = (
+        f"regexp_replace(CASE WHEN {sch} = 'http' "
+        f"THEN regexp_replace({hp}, ':80$', '') "
+        f"WHEN {sch} = 'https' THEN regexp_replace({hp}, ':443$', '') "
+        f"ELSE {hp} END, '^www\\.', '')"
+    )
+    bl = ", ".join(f"('{h}', 1)" for h in URL_BLOCKLIST)
+    return f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE doc_id % 6
+                   WHEN 1 THEN 'https://news-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/casino/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                   WHEN 2 THEN 'https://h123456789.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                   WHEN 3 THEN 'https://news-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '?pad='
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 160, 'x')
+                   WHEN 4 THEN 'https://ads.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                   WHEN 5 THEN 'https://www.news-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                       || '?utm_source=feed'
+                   ELSE 'https://news-'
+                       || CAST(doc_id % 5 AS VARCHAR)
+                       || '.example.com/article/'
+                       || CAST(doc_id % 100 AS VARCHAR)
+                   END AS url
+            FROM documents
+        ),
+        hosted AS (SELECT doc_id, url, {host} AS host FROM raw),
+        bl(host, blocked) AS (VALUES {bl}),
+        flagged AS (
+            SELECT doc_id, h.host,
+                   CASE
+                   WHEN blocked = 1 THEN 'host_blocklist'
+                   WHEN regexp_matches(
+                       regexp_extract(url, '{T.URL_REST_RE}', 1),
+                       '{URL_BADPATH_RE}') THEN 'path_keyword'
+                   WHEN 5 * (length(h.host) - length(
+                       regexp_replace(h.host, '[0-9]', '', 'g')))
+                       >= length(h.host) THEN 'digit_host'
+                   WHEN length(url) > 160 THEN 'url_too_long'
+                   END AS reason
+            FROM hosted h LEFT JOIN bl ON h.host = bl.host
+        )
+        SELECT doc_id, host, reason,
+               CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep
+        FROM flagged
+    """
+
+
 SEM_K = 16  # SemDeDup codebook size: K is the paper's pair-count knob
 SEM_T = 0.3  # semantic-duplicate cosine (matches NEARDUP_T's data scale)
 
@@ -1542,6 +1751,9 @@ SPARK_QUERIES = {
     "unicode_nfc": unicode_nfc,
     "neardup_components": neardup_components,
     "neardup_components_star": neardup_components_star,
+    "neardup_keep_best": neardup_keep_best,
+    "neardup_cluster_sizes": neardup_cluster_sizes,
+    "url_host_filter": url_host_filter,
     "repetition_stats": repetition_stats,
     "embedding_neardups": embedding_neardups,
     "embedding_neardups_auto": embedding_neardups_auto,
@@ -1579,6 +1791,9 @@ ORACLES = {
     "unicode_nfc": _sql_unicode_nfc(),
     "neardup_components": _sql_neardup_components(),
     "neardup_components_star": _sql_neardup_components(),
+    "neardup_keep_best": _sql_neardup_keep_best(),
+    "neardup_cluster_sizes": _sql_neardup_cluster_sizes(),
+    "url_host_filter": _sql_url_host_filter(),
     "repetition_stats": _sql_repetition(),
     "dsir_select": _sql_dsir_select(),
     "quality_linear_score": _sql_quality_linear(),

@@ -692,3 +692,57 @@ def test_perplexity_filter_bigram_lm(spark):
     for d in (60, 61):
         assert out[d]["n_bigrams"] == 0 and out[d]["mean_micro"] == 0
         assert out[d]["logprob_micro"] == 0
+
+
+def test_keep_best_per_component_longest_wins(spark):
+    # docs 1/2/3 are mutual near-dups; 3 is the LONGEST member so the
+    # FineWeb-style retention keeps it (dedup_corpus would keep id 1).
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog again today"),
+        (4, "completely different content about spark shuffles"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {
+        r["doc_id"]: r
+        for r in D.keep_best_per_component(df, threshold=0.5).collect()
+    }
+    assert set(kept) == {3, 4}
+    assert kept[3]["component_id"] == 1  # cluster labeled by min member
+    assert kept[3]["score"] == 11
+
+
+def test_keep_best_per_component_custom_score_and_ties(spark):
+    # equal-length exact dups: tie broken by LOWEST doc_id; a custom
+    # score column inverts the choice.
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = D.keep_best_per_component(df, threshold=0.5).collect()
+    assert [r["doc_id"] for r in kept] == [10]
+    inv = D.keep_best_per_component(
+        df, score_col=F.col("doc_id").cast("bigint"), threshold=0.5
+    ).collect()
+    assert [r["doc_id"] for r in inv] == [11]
+
+
+def test_url_host_filter_fires_every_rule(spark):
+    from tesseract_ocr_service_spark.operators import queries as Q
+
+    out = Q.url_host_filter(spark, "/root/testdata/sf0.001").toPandas()
+    reasons = set(out["reason"].dropna())
+    assert reasons == {
+        "host_blocklist", "path_keyword", "digit_host", "url_too_long"
+    }
+    # tracking-param variant (doc_id%6==5) is kept, not flagged
+    import pandas as pd  # noqa: F401
+    v5 = out[out["doc_id"] % 6 == 5]
+    assert (v5["keep"] == 1).all()
+    # the blocklist join must be a broadcast, never a shuffle
+    plan = Q.url_host_filter(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
