@@ -77,6 +77,14 @@ def parse_args(argv):
         "--no-dedup", action="store_true", help="skip exact+near dedup"
     )
     p.add_argument(
+        "--retention",
+        choices=("min_id", "longest"),
+        default="min_id",
+        help="near-dup survivor rule: min_id (dedup_corpus's anti-join"
+        " keeper) or longest (FineWeb-style keep-best-member via"
+        " dedup.keep_best_per_component)",
+    )
+    p.add_argument(
         "--no-perplexity", action="store_true", help="skip the LM cut"
     )
     p.add_argument(
@@ -117,7 +125,19 @@ def build(spark, args) -> dict:
         funnel["quality_kept"] = docs.count()
 
     if not args.no_dedup:
-        docs = _truncate_lineage(D.dedup_corpus(docs, id_c, text_c))
+        if args.retention == "longest":
+            # exact dups are textually identical (any keeper is fine);
+            # near-dup clusters keep their LONGEST member instead of
+            # the min id — the quality-aware retention rule.
+            ex = _truncate_lineage(D.dedup_exact(docs, id_c, text_c))
+            kept = D.keep_best_per_component(ex, id_c, text_c)
+            docs = _truncate_lineage(
+                docs.join(
+                    kept.select(F.col("doc_id").alias(id_c)), id_c
+                )
+            )
+        else:
+            docs = _truncate_lineage(D.dedup_corpus(docs, id_c, text_c))
         funnel["dedup_kept"] = docs.count()
 
     if not args.no_perplexity:

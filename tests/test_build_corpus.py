@@ -76,3 +76,48 @@ def test_build_corpus_funnel_and_determinism(spark, tmp_path):
     # DSIR keeps high-scoring docs of ANY lang; just check lang column
     # survived the pipeline for downstream mixing
     assert "lang" in data.columns
+
+
+def test_build_corpus_longest_retention(spark, tmp_path):
+    """retention=longest keeps the LONGEST near-dup cluster member
+    (doc 2), where the default min-id rule would keep doc 1."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        import build_corpus as J
+    finally:
+        sys.path.pop(0)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six")
+    rows = [
+        (1, base, "en"),
+        (2, base + " thirty thirtyone", "en"),  # longest member
+        (3, "completely different content about spark shuffles", "en"),
+    ]
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.parquet(p)
+    out = str(tmp_path / "out")
+    args = J.parse_args(
+        ["--docs", p, "--out", out, "--no-quality", "--no-perplexity",
+         "--retention", "longest", "--shards", "1"]
+    )
+    f = J.build(spark, args)
+    kept = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{out}/data").select("doc_id").collect()
+    )
+    assert kept == [2, 3]
+    assert f["dedup_kept"] == 2
+
+    # the default rule on the same input keeps min-id doc 1 instead
+    out2 = str(tmp_path / "out2")
+    args2 = J.parse_args(
+        ["--docs", p, "--out", out2, "--no-quality", "--no-perplexity",
+         "--shards", "1"]
+    )
+    J.build(spark, args2)
+    kept2 = sorted(
+        r["doc_id"] for r in
+        spark.read.parquet(f"{out2}/data").select("doc_id").collect()
+    )
+    assert kept2 == [1, 3]
