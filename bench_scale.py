@@ -361,7 +361,7 @@ def sf1_section(spark) -> dict:
                 F.posexplode(
                     F.array(
                         *[
-                            S.lsh_bucket(F.col("v"), pl[b * planes : (b + 1) * planes])
+                            S.lsh_bucket("v", pl[b * planes : (b + 1) * planes])
                             for b in range(4)
                         ]
                     )

@@ -813,24 +813,26 @@ def simhash_table(
     hashed = toks.select(
         "id", F.when(F.col("tok") != "", h).alias("hv")
     )
-    bit_sums = hashed.groupBy("id").agg(
-        F.count("hv").alias("n"),
-        *[
-            F.sum(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1))).alias(
-                f"c{b}"
-            )
-            for b in range(n_bits)
-        ],
+    # The n_bits sum-aggregates + the n_bits-term majority-vote select
+    # are rendered as ONE parameterized spark.sql call: building them
+    # column-object-by-column-object costs ~2.5 s of py4j round trips
+    # per invocation (profiled; bench times construction inside the
+    # query window). The SQL parser produces the identical Catalyst
+    # aggregate/CASE/shiftleft operators, so plans and results are
+    # unchanged (plan-shape tests and the DuckDB oracle pin this).
+    aggs = ",".join(
+        f"sum(shiftright(hv,{b}) & CAST(1 AS BIGINT)) AS c{b}"
+        for b in range(n_bits)
     )
-    sh = F.lit(0).cast("bigint")
-    for b in range(n_bits):
-        sh = sh + F.shiftleft(
-            F.when(F.col(f"c{b}") * 2 > F.col("n"), F.lit(1).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint")),
-            b,
-        )
-    return bit_sums.select(
-        "id", F.when(F.col("n") > 0, sh).otherwise(F.lit(0).cast("bigint")).alias("sh")
+    vote = "+".join(
+        f"shiftleft(CAST(CASE WHEN c{b}*2 > n THEN 1 ELSE 0 END AS BIGINT),{b})"
+        for b in range(n_bits)
+    )
+    return hashed.sparkSession.sql(
+        f"SELECT id, CASE WHEN n > 0 THEN ({vote}) "
+        "ELSE CAST(0 AS BIGINT) END AS sh "
+        f"FROM (SELECT id, count(hv) AS n, {aggs} FROM {{h}} GROUP BY id)",
+        h=hashed,
     )
 
 
@@ -996,20 +998,23 @@ def simhash_multi_index_keys(
 
     blocks = _simhash_blocks(n_bits, n_blocks)
 
-    def _block(i: int):
+    # Rendered as ONE selectExpr string: the C(k+3,3)*3 block
+    # extractions cost ~0.7 s of per-call py4j chatter when built as
+    # Column objects (profiled; bench times construction). The parsed
+    # plan is operator-identical.
+    def _block(i: int) -> str:
         shift, width = blocks[i]
-        return F.shiftrightunsigned("sh", shift).bitwiseAND(
-            F.lit((1 << width) - 1)
-        )
+        return f"(shiftrightunsigned(sh,{shift}) & CAST({(1 << width) - 1} AS BIGINT))"
 
     keys = []
     for subset in combinations(range(n_blocks), 3):
-        k = F.lit(0).cast("bigint")
+        k = "CAST(0 AS BIGINT)"
         for bi in subset:
-            k = F.shiftleft(k, blocks[bi][1]) + _block(bi)
+            k = f"(shiftleft({k},{blocks[bi][1]}) + {_block(bi)})"
         keys.append(k)
-    return sht.select(
-        "id", "sh", F.posexplode(F.array(*keys)).alias("table_id", "key")
+    return sht.selectExpr(
+        "id", "sh",
+        f"posexplode(array({','.join(keys)})) AS (table_id, key)",
     )
 
 

@@ -30,6 +30,45 @@ def dot(a, b) -> Column:
     )
 
 
+# --- SQL-text expression builders -------------------------------------
+# Constructing K x dim literal trees through the Python API costs one
+# py4j round trip PER CALL (~10,700 round trips / 2.7-10 s of pure
+# driver chatter for a 24-plane banding, profiled; `F.lit(list)` is
+# sugar for per-element lit() so it saves nothing). Rendering the same
+# expression as ONE SQL string -> ONE `F.expr` parse drops construction
+# to ~0.3 s. The SQL parser builds the IDENTICAL Catalyst operators
+# (aggregate/zip_with/CASE WHEN with the same left-fold order), so
+# results are bit-identical — verified by equal output hashes and the
+# unchanged DuckDB oracles. Doubles are rendered with repr(): Python's
+# shortest round-trip decimal, which Spark's correctly-rounded parser
+# maps back to the same binary64.
+
+
+def _dbl(x) -> str:
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if x != x:
+        return "CAST('NaN' AS DOUBLE)"
+    if x == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if x == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _arr_sql(xs) -> str:
+    return "array(" + ",".join(_dbl(x) for x in xs) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return f"aggregate(zip_with({a},{b},(x,y)->x*y),0.0D,(acc,v)->acc+v)"
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate(transform({a},x->x*x),0.0D,(acc,v)->acc+v))"
+
+
 def norm(a) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -51,7 +90,7 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine vs a literal query vector.
     -> (vec_id, sim) — sim rounded 4; ties broken by id (deterministic)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     sims = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("sim"),
@@ -68,12 +107,28 @@ def hyperplane_signs(n_planes: int, dim: int, seed: int = 42) -> list[list[float
     ]
 
 
-def lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit j = sign(<v, h_j>)."""
+def lsh_bucket(vec, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = sign(<v, h_j>).
+
+    ``vec`` is the vector column NAME (str) — the whole bucket
+    expression is rendered as one SQL string and parsed in a single
+    ``F.expr`` round trip (see the SQL-text builders above). A Column
+    input falls back to the per-plane Python-API build (bit-identical,
+    just ~30x slower to construct)."""
+    if isinstance(vec, str):
+        v = f"CAST(`{vec}` AS ARRAY<DOUBLE>)"
+        terms = ["CAST(0 AS BIGINT)"]
+        for j, p in enumerate(planes):
+            bit = (
+                f"(CASE WHEN ({_dot_sql(v, _arr_sql(p))} >= 0) "
+                "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            )
+            terms.append(f"shiftleft({bit},{j})")
+        return F.expr(" + ".join(terms))
     out = F.lit(0).cast("bigint")
-    v = vec_col.cast("array<double>")
+    v = vec.cast("array<double>")
     for j, plane in enumerate(planes):
-        h = F.array(*[F.lit(c) for c in plane])
+        h = F.lit([float(c) for c in plane])
         bit = F.when(dot(v, h) >= 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
@@ -89,7 +144,7 @@ def with_lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     return df.withColumn(
-        "bucket", lsh_bucket(F.col(vec_col), hyperplane_signs(n_planes, dim, seed))
+        "bucket", lsh_bucket(vec_col, hyperplane_signs(n_planes, dim, seed))
     )
 
 
@@ -109,7 +164,7 @@ def ann_topk_lsh(
     for j, plane in enumerate(planes):
         if sum(x * c for x, c in zip(query_vec, plane)) >= 0:
             qb |= 1 << j
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     bucketed = with_lsh_buckets(df, n_planes, len(query_vec), seed, vec_col)
     return (
         bucketed.where(F.col("bucket") == F.lit(qb))
@@ -174,7 +229,7 @@ def ivf_centroids(
     cents = [list(r[vec_col]) for r in seeds]
     for _ in range(iterations):
         assigned = df.select(
-            F.col(vec_col).alias("v"), ivf_assign(F.col(vec_col), cents).alias("list_id")
+            F.col(vec_col).alias("v"), ivf_assign(vec_col, cents).alias("list_id")
         )
         dim = len(cents[0])
         means = (
@@ -201,14 +256,19 @@ def ivf_centroids(
     return cents
 
 
-def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
+def ivf_assign(vec, centroids: list[list[float]]) -> Column:
     """list_id = argmax over centroids of cosine(v, c), as an array of
     K cosine exprs + array_max/array_position (first-wins tie-break,
     JVM-side). NOT a when()-chain carrying a running best: that form
     nests the previous best into both branches of every step, so the
     expression tree doubles per centroid — K=16 OOMed the driver at
-    ANALYSIS time before a single row moved."""
-    v = vec_col.cast("array<double>")
+    ANALYSIS time before a single row moved.
+
+    ``vec`` is the vector column NAME (str): the K*dim literal tree is
+    rendered as one SQL string -> one ``F.expr`` parse (the Python-API
+    build cost seconds of py4j chatter at K=16; see the SQL-text
+    builders above). Column inputs use the legacy per-centroid build.
+    """
     # nanvl(-2): a zero-norm (degenerate) centroid yields cosine NaN,
     # and Spark orders NaN ABOVE every double (array_max picks it,
     # array_position matches it under NaN=NaN semantics) — without the
@@ -216,10 +276,21 @@ def ivf_assign(vec_col, centroids: list[list[float]]) -> Column:
     # collapsing the codebook into one mega-cluster and making the
     # within-cluster self-join quadratic. -2 < any real cosine, so a
     # degenerate centroid simply never wins.
+    if isinstance(vec, str):
+        v = f"CAST(`{vec}` AS ARRAY<DOUBLE>)"
+        sims = "array(" + ",".join(
+            f"nanvl({_dot_sql(v, _arr_sql(c))}/"
+            f"({_norm_sql(v)}*{_norm_sql(_arr_sql(c))}),-2.0D)"
+            for c in centroids
+        ) + ")"
+        return F.expr(
+            f"CAST(array_position({sims},array_max({sims})) - 1 AS INT)"
+        )
+    v = vec.cast("array<double>")
     sims = F.array(
         *[
             F.nanvl(
-                cosine(v, F.array(*[F.lit(float(x)) for x in c])),
+                cosine(v, F.lit([float(x) for x in c])),
                 F.lit(-2.0),
             )
             for c in centroids
@@ -335,7 +406,7 @@ def semantic_dedup(
         raw = df.select(
             F.col(id_col).alias("id"),
             v.alias("v"),
-            ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+            ivf_assign(vec_col, centroids).alias("list_id"),
             norm(v).alias("nrm"),
         )
     assigned = _truncate_lineage(raw)
@@ -407,7 +478,7 @@ def build_ivf_index(
     more than brute-force scoring itself)."""
     (
         df.select(id_col, vec_col)
-        .withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
+        .withColumn("list_id", ivf_assign(vec_col, centroids))
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(path)
@@ -427,7 +498,7 @@ def ann_topk_ivf_indexed(
     """IVF search over a materialized index: a partition-pruned read of
     the ``n_probe`` closest lists, then exact scoring + ordered limit."""
     probe = probe_lists(query_vec, centroids, n_probe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     return (
         spark.read.parquet(index_path)
         .where(F.col("list_id").isin(probe))
@@ -456,9 +527,9 @@ def ann_topk_ivf(
     any repeated-query workload use build_ivf_index +
     ann_topk_ivf_indexed, which prunes physically."""
     probe = probe_lists(query_vec, centroids, n_probe)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     return (
-        df.withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
+        df.withColumn("list_id", ivf_assign(vec_col, centroids))
         .where(F.col("list_id").isin(probe))
         .select(
             F.col(id_col),
@@ -484,6 +555,59 @@ def auto_n_planes(n_vectors: int, target_occupancy: float = 8.0) -> int:
     return max(8, math.ceil(math.log2(max(2.0, n_vectors / target_occupancy))))
 
 
+def lsh_buckets_batched(
+    df: DataFrame,
+    planes: list[list[float]],
+    bands: int,
+    id_col: str = "id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Banded sign-LSH bucket ids for LARGE plane counts: ONE numpy
+    matmul per Arrow batch (``mapInPandas``) against all bands' planes
+    at once, instead of bands*n_planes interpreted aggregate/zip_with
+    folds per row (higher-order array functions never enter codegen —
+    the CLAUDE.md rule). At 10^12 vectors the auto-sized index wants
+    ~38 planes/band x several bands — hundreds of interpreted
+    dot-folds per row — where the batched path is one
+    (batch x dim) @ (dim x planes) BLAS call plus a bit-pack.
+    -> (id, band, bucket), one row per (vector, band).
+
+    PRECONDITION: non-null, full-dim vectors (same contract as
+    assign_codebook_batched). Sign bits match the expression path
+    everywhere the dot product is not within float-summation noise of
+    exactly 0 (different summation order, last-ulp differences) — for
+    unit-scale embeddings a flip needs |<v,h>| < ~1e-13, so the two
+    paths agree in practice and a test pins equality on the driver
+    corpus; the expression path remains the oracle form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    P = np.asarray(planes, dtype=np.float64).T  # dim x (bands*n)
+    n = len(planes) // bands
+    w = 1 << np.arange(n, dtype=np.int64)
+    band_ids = np.arange(bands, dtype=np.int32)
+
+    def run(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (V @ P >= 0).astype(np.int64)
+            buckets = bits.reshape(len(V), bands, n) @ w
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf[id_col].to_numpy(), bands),
+                    "band": np.tile(band_ids, len(V)),
+                    "bucket": buckets.ravel(),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        run, schema="id long, band int, bucket long"
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -495,6 +619,7 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     max_bucket: int | None = 500,
     log_drops: bool = False,
+    banding: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicates via MULTI-BAND sign-LSH:
     ``bands`` independent sets of ``n_planes`` hyperplanes (mirroring
@@ -515,22 +640,31 @@ def embedding_neardup_pairs(
     near-identical vectors otherwise makes one bucket quadratic
     regardless of H); None disables, ``log_drops`` reports the drop.
     ``n_planes='auto'`` sizes the bucket space from one corpus count
-    via :func:`auto_n_planes` (costs a driver count() action)."""
+    via :func:`auto_n_planes` (costs a driver count() action).
+    ``banding``: 'expr' = JVM expression banding (the oracle path);
+    'batched' = one numpy matmul per Arrow batch
+    (:func:`lsh_buckets_batched` — the large-plane-count scale path,
+    requires clean full-dim vectors)."""
     from . import dedup as _dedup
 
+    if banding not in ("expr", "batched"):
+        raise ValueError(f"unknown banding mode {banding!r}")
     if n_planes == "auto":
         n_planes = auto_n_planes(df.count())
     planes = hyperplane_signs(bands * n_planes, dim, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    band_buckets = F.array(
-        *[
-            lsh_bucket(F.col("v"), planes[b * n_planes : (b + 1) * n_planes])
-            for b in range(bands)
-        ]
-    )
-    banded = base.select(
-        "id", F.posexplode(band_buckets).alias("band", "bucket")
-    ).where(F.col("bucket").isNotNull())
+    if banding == "batched":
+        banded = lsh_buckets_batched(base, planes, bands)
+    else:
+        band_buckets = F.array(
+            *[
+                lsh_bucket("v", planes[b * n_planes : (b + 1) * n_planes])
+                for b in range(bands)
+            ]
+        )
+        banded = base.select(
+            "id", F.posexplode(band_buckets).alias("band", "bucket")
+        ).where(F.col("bucket").isNotNull())
     if max_bucket is not None:
         banded = _dedup.cap_buckets(
             banded, ["band", "bucket"], max_bucket,

@@ -138,3 +138,46 @@ def test_auto_n_planes_resolves_to_oracle_constant_at_driver_scales():
         assert S.auto_n_planes(n) == 8, n
     assert S.auto_n_planes(4096) == 9
     assert S.auto_n_planes(20000) == 12
+
+
+def test_batched_banding_matches_expr_path(emb):
+    """lsh_buckets_batched (numpy matmul per Arrow batch — the
+    large-plane-count scale path) must produce the SAME (id, band,
+    bucket) rows as the JVM expression banding. Sign bits can only
+    diverge when a dot product sits within float-summation noise of
+    exactly 0 (different summation order) — never observed on real
+    embeddings; this pins it for the driver corpus."""
+    planes = S.hyperplane_signs(4 * 6, 64)
+    base = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    )
+    via_expr = base.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[S.lsh_bucket("v", planes[b * 6 : (b + 1) * 6]) for b in range(4)]
+            )
+        ).alias("band", "bucket"),
+    )
+    via_np = S.lsh_buckets_batched(base, planes, bands=4)
+    a = {(r["id"], r["band"], r["bucket"]) for r in via_expr.collect()}
+    b = {(r["id"], r["band"], r["bucket"]) for r in via_np.collect()}
+    assert a == b and len(a) == emb.count() * 4
+
+
+def test_neardup_pairs_batched_banding_matches_expr(emb):
+    """embedding_neardup_pairs(banding='batched') end-to-end equals the
+    expression path (same candidates -> same verified pairs), and an
+    unknown mode raises."""
+    kw = dict(threshold=0.3, n_planes=6, bands=4, dim=64)
+    ex = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in S.embedding_neardup_pairs(emb, banding="expr", **kw).collect()
+    }
+    ba = {
+        (r["id_a"], r["id_b"], r["sim"])
+        for r in S.embedding_neardup_pairs(emb, banding="batched", **kw).collect()
+    }
+    assert ex == ba and len(ex) > 0
+    with pytest.raises(ValueError):
+        S.embedding_neardup_pairs(emb, banding="matmul")
