@@ -717,11 +717,22 @@ def minhash_dedup_pairs(
     agreement ratio (estimated jaccard) >= threshold.
     -> (id_a, id_b, est_jaccard). ``sigs`` reuses a precomputed
     (id, sig) DataFrame for BOTH the banding and the verify join.
-    ``max_bucket``/``log_drops`` pass through to the banding cap."""
+    ``max_bucket``/``log_drops`` pass through to the banding cap.
+
+    When ``sigs`` is None the signature table is computed once and
+    EAGERLY lineage-truncated (one bounded action at construction):
+    this plan consumes it three times (banding + both verify sides),
+    and each lazy consumer re-runs the whole shingle+min-agg pipeline
+    (no ReusedExchange under AQE — CLAUDE.md rule; measured 3x the
+    signature wall inside neardup_components' edge materialization).
+    Callers composing pipelines (dedup_corpus, incremental) pass their
+    own persisted/committed ``sigs`` and skip this."""
     with_sig = (
         sigs
         if sigs is not None
-        else minhash_signatures_agg(df, id_col, text_col, k, n)
+        else _truncate_lineage(
+            minhash_signatures_agg(df, id_col, text_col, k, n)
+        )
     )
     cands = bucket_id_pairs(
         minhash_lsh_candidates(
@@ -1121,11 +1132,24 @@ def connected_components(
     labels = _truncate_lineage(
         vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     )
+    # symmetrize with ONE scan of edges (explode of both orientations),
+    # not a union of two selects: the union form consumes the (often
+    # expensive — LSH banding + verify) edge plan twice, and Catalyst
+    # will not reuse the exchange across the branches (CLAUDE.md rule).
     sym = _truncate_lineage(
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .union(
-            edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("s"), F.col(src_col).alias("d")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.s", "e.d")
         .distinct()
     )
     changed = -1

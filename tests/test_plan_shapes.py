@@ -132,6 +132,60 @@ def test_lsh_pair_plans_scan_upstream_minimally(spark):
     )
     assert _scans(D.ngram_jaccard_pairs(docs), "documents.parquet") == 4
     assert _scans(S.embedding_neardup_pairs(embs), "embeddings.parquet") == 3
+    # minhash_dedup_pairs with no sigs supplied: the signature table is
+    # eagerly lineage-truncated at construction, so the pair plan's
+    # three signature consumers (banding + both verify sides) read the
+    # checkpoint — ZERO parquet scans of the text remain in the plan
+    # (was 3 full shingle+min-agg replays, ~3x the signature wall).
+    assert _scans(D.minhash_dedup_pairs(docs), "documents.parquet") == 0
+
+
+def test_connected_components_symmetrizes_with_one_edge_scan(spark):
+    """connected_components must symmetrize edges via a single-scan
+    explode, not union(select, select): the union form consumes the
+    (often expensive — LSH banding + verify) edge plan twice with no
+    ReusedExchange under AQE. Pinned on a parquet-backed edge table:
+    exactly ONE scan in the materialized symmetric-edge checkpoint's
+    lineage means the loop setup read the edge source once."""
+    import pyspark.sql.functions as F
+
+    from tesseract_ocr_service_spark.operators import dedup as D
+
+    edges = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.xxhash64("doc_id").alias("src"),
+            F.xxhash64("text").alias("dst"),
+        )
+        .limit(10)
+    )
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("e")
+    ).select("e.s", "e.d")
+    plan = _plan(sym)
+    assert (
+        sum(
+            1
+            for line in plan.splitlines()
+            if "Scan parquet" in line and "documents.parquet" in line
+        )
+        == 1
+    ), plan
+    # and the op itself produces the same components as a naive union
+    small = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 4)], "src long, dst long"
+    )
+    vs = spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    got = {
+        (r["id"], r["component_id"])
+        for r in D.connected_components(small, vs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)}
 
 
 def test_top_tokens_has_no_global_window(spark):
