@@ -206,9 +206,15 @@ def main() -> None:
             ).save()
 
         run_once()  # warm
-        t0 = time.perf_counter()
-        run_once()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        # best of 2 timed passes: a minutes-long steal burst otherwise
+        # lands squarely in a single-pass artifact (the components
+        # family read 3-5x their idle-box walls in one round-4 sweep)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_once()
+            best = min(best, time.perf_counter() - t0)
+        qtimes[name] = round(best, 3)
 
     # 2b. sf1 scale evidence: the dedup/similarity stack at 1x
     # (sf0.1-shape) vs 10x (sf1-shape) synthetic corpora with
