@@ -143,6 +143,113 @@ def quality_keep(col: Column) -> Column:
     )
 
 
+# ------------------------------------------------- Gopher rule set
+
+#: the eight stop words of the Gopher quality filter (Rae et al. 2021,
+#: "Scaling Language Models", Appendix A1.1): a document must contain
+#: at least TWO distinct members or it is dropped.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+#: severity-ordered (rule, reason) labels — first match wins.
+GOPHER_REASONS = (
+    "word_count",
+    "mean_word_len",
+    "symbol_ratio",
+    "bullet_lines",
+    "ellipsis_lines",
+    "alpha_words",
+    "stopwords",
+)
+
+
+def gopher_signals(col: Column) -> dict[str, Column]:
+    """The integer inputs of the full Gopher quality rule set (Rae et
+    al. 2021, Appendix A1.1) — every count a bigint so the downstream
+    ratio rules are INTEGER comparisons (no float crosses the engine
+    boundary; CLAUDE.md cross-engine rule). All JVM-side; the only
+    higher-order exprs are the per-word filters (bounded by doc token
+    count, same shape as quality_features)."""
+    toks = tokens(col)
+    return {
+        # words + their total character mass (mean length = chars/words)
+        "n_words": F.size(toks).cast("bigint"),
+        "n_word_chars": F.length(
+            F.regexp_replace(col, r"\s", "")
+        ).cast("bigint"),
+        # symbol counts: '#' occurrences + non-overlapping '...' / '…'
+        "n_hash": (
+            F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+        ).cast("bigint"),
+        "n_ellipsis": F.regexp_count(
+            col, F.lit(r"(\.\.\.|…)")
+        ).cast("bigint"),
+        # line-shape counts ((?m) works identically in Java regex + RE2)
+        "n_lines": (F.regexp_count(col, F.lit("\n")) + 1).cast("bigint"),
+        "n_bullet_lines": F.regexp_count(
+            col, F.lit(r"(?m)^[-•*] ")
+        ).cast("bigint"),
+        "n_ellipsis_lines": F.regexp_count(
+            col, F.lit(r"(?m)(\.\.\.|…)$")
+        ).cast("bigint"),
+        "n_alpha_words": F.size(
+            F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+        ).cast("bigint"),
+        "n_stop_distinct": F.size(
+            F.array_distinct(
+                F.filter(
+                    F.transform(toks, F.lower),
+                    lambda t: t.isin(list(GOPHER_STOPWORDS)),
+                )
+            )
+        ).cast("bigint"),
+    }
+
+
+def gopher_reason(s: dict[str, Column]) -> Column:
+    """First failing Gopher rule (severity order), NULL = keep. The
+    published thresholds, rewritten as exact integer comparisons:
+    50 <= words <= 100000; 3 <= mean word length <= 10 (chars vs
+    3*words / 10*words); symbol-to-word ratio <= 0.1 (10*symbols vs
+    words); <= 90% bullet-started lines (10*bullets vs 9*lines);
+    <= 30% ellipsis-ended lines (10*ell vs 3*lines); >= 80% words
+    with an alphabetic char (5*alpha vs 4*words); >= 2 distinct
+    Gopher stop words."""
+    return (
+        F.when(
+            (s["n_words"] < 50) | (s["n_words"] > 100000),
+            F.lit("word_count"),
+        )
+        .when(
+            (s["n_word_chars"] < 3 * s["n_words"])
+            | (s["n_word_chars"] > 10 * s["n_words"]),
+            F.lit("mean_word_len"),
+        )
+        .when(
+            10 * (s["n_hash"] + s["n_ellipsis"]) > s["n_words"],
+            F.lit("symbol_ratio"),
+        )
+        .when(
+            10 * s["n_bullet_lines"] > 9 * s["n_lines"],
+            F.lit("bullet_lines"),
+        )
+        .when(
+            10 * s["n_ellipsis_lines"] > 3 * s["n_lines"],
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            5 * s["n_alpha_words"] < 4 * s["n_words"],
+            F.lit("alpha_words"),
+        )
+        .when(s["n_stop_distinct"] < 2, F.lit("stopwords"))
+    )
+
+
+def gopher_keep(col: Column) -> Column:
+    """Boolean form of the full Gopher rule set — the production
+    corpus-gate column (reason = NULL)."""
+    return gopher_reason(gopher_signals(col)).isNull()
+
+
 # -------------------------------------------------------- fingerprints
 
 def normalized(col: Column) -> Column:

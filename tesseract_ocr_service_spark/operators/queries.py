@@ -1490,6 +1490,126 @@ def _sql_url_host_filter() -> str:
     """
 
 
+#: planted Gopher-filter texts — ONE SQL expression valid verbatim in
+#: BOTH Spark SQL and DuckDB (repeat / || / chr(10) / CASE agree), so
+#: the two engines provably score the same bytes. Variants doc_id % 8:
+#: keep / too-short / 30-char words / '#'-soup / all-bullet lines /
+#: 40% ellipsis-ended lines / no-alpha words / zero Gopher stopwords —
+#: every rule fires (CLAUDE.md planted-data rule).
+_GOPHER_CLEAN = "the quick brown fox and that have with of to be fine"
+_GOPHER_NOSTOP = "quick brown fox jumps over lazy dog again"
+_GOPHER_BULLET = "• the quick brown fox and that have with"
+_GOPHER_TEXT_SQL = f"""CASE doc_id % 8
+    WHEN 1 THEN 'too short to be a doc'
+    WHEN 2 THEN repeat('pneumonoultramicroscopicsilico ', 59)
+        || 'pneumonoultramicroscopicsilico'
+    WHEN 3 THEN repeat('{_GOPHER_CLEAN} ', 7) || '{_GOPHER_CLEAN}'
+        || ' ' || repeat('# ', 19) || '#'
+    WHEN 4 THEN repeat('{_GOPHER_BULLET}' || chr(10), 9)
+        || '{_GOPHER_BULLET}'
+    WHEN 5 THEN repeat('{_GOPHER_CLEAN}' || chr(10), 6)
+        || repeat('{_GOPHER_CLEAN}...' || chr(10), 3)
+        || '{_GOPHER_CLEAN}...'
+    WHEN 6 THEN repeat('12345 6789 ', 29) || '12345 6789'
+    WHEN 7 THEN repeat('{_GOPHER_NOSTOP} ', 7) || '{_GOPHER_NOSTOP}'
+    ELSE repeat('{_GOPHER_CLEAN} ', 7) || '{_GOPHER_CLEAN}'
+    END"""
+
+
+def gopher_filter(spark, sf_dir):
+    """The COMPLETE Gopher quality rule set (Rae et al. 2021, Appendix
+    A1.1) over planted per-doc texts: word-count bounds, mean-word-
+    length bounds, symbol-to-word ratio, bullet-started and ellipsis-
+    ended line fractions, alphabetic-word fraction, and the 2-stopword
+    floor — reason = first failing rule in severity order, NULL = keep.
+    Every ratio is an exact integer comparison on both engines, and the
+    planted text is the SAME SQL expression Spark and DuckDB evaluate,
+    so the value hash proves identical rule arithmetic end to end.
+    Production form over real text: textstats.gopher_keep."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_GOPHER_TEXT_SQL).alias("text")
+    )
+    s = T.gopher_signals(F.col("text"))
+    reason = T.gopher_reason(s)
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["n_lines"].alias("n_lines"),
+        s["n_alpha_words"].alias("n_alpha_words"),
+        s["n_stop_distinct"].alias("n_stop_distinct"),
+        reason.alias("reason"),
+        F.when(reason.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("int").alias("keep"),
+    )
+
+
+def _sql_gopher_filter() -> str:
+    """DuckDB replay of gopher_filter: identical planted-text CASE,
+    identical integer rule arithmetic, RE2 forms of the same (?m)
+    line-shape regexes."""
+    stop = ", ".join(f"'{w}'" for w in T.GOPHER_STOPWORDS)
+    return rf"""
+        WITH planted AS (
+            SELECT doc_id, {_GOPHER_TEXT_SQL} AS text FROM documents
+        ),
+        toked AS (
+            SELECT doc_id, text, {_TOKS_RAW} AS toks FROM planted
+        ),
+        sig AS (
+            SELECT doc_id,
+                   len(toks) AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g'))
+                       AS n_word_chars,
+                   length(text) - length(replace(text, '#', ''))
+                       AS n_hash,
+                   len(regexp_extract_all(text, '(\.\.\.|…)'))
+                       AS n_ellipsis,
+                   length(text) - length(replace(text, chr(10), '')) + 1
+                       AS n_lines,
+                   len(regexp_extract_all(text, '(?m)^[-•*] '))
+                       AS n_bullet_lines,
+                   len(regexp_extract_all(text, '(?m)(\.\.\.|…)$'))
+                       AS n_ellipsis_lines,
+                   len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha_words,
+                   len(list_distinct(list_filter(toks,
+                       x -> lower(x) IN ({stop}))))
+                       AS n_stop_distinct
+            FROM toked
+        ),
+        ruled AS (
+            SELECT *,
+                   CASE
+                   WHEN n_words < 50 OR n_words > 100000
+                       THEN 'word_count'
+                   WHEN n_word_chars < 3 * n_words
+                        OR n_word_chars > 10 * n_words
+                       THEN 'mean_word_len'
+                   WHEN 10 * (n_hash + n_ellipsis) > n_words
+                       THEN 'symbol_ratio'
+                   WHEN 10 * n_bullet_lines > 9 * n_lines
+                       THEN 'bullet_lines'
+                   WHEN 10 * n_ellipsis_lines > 3 * n_lines
+                       THEN 'ellipsis_lines'
+                   WHEN 5 * n_alpha_words < 4 * n_words
+                       THEN 'alpha_words'
+                   WHEN n_stop_distinct < 2 THEN 'stopwords'
+                   END AS reason
+            FROM sig
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_lines AS BIGINT) AS n_lines,
+               CAST(n_alpha_words AS BIGINT) AS n_alpha_words,
+               CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+               reason,
+               CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS keep
+        FROM ruled
+    """
+
+
 SEM_K = 16  # SemDeDup codebook size: K is the paper's pair-count knob
 SEM_T = 0.3  # semantic-duplicate cosine (matches NEARDUP_T's data scale)
 
@@ -1754,6 +1874,7 @@ SPARK_QUERIES = {
     "neardup_keep_best": neardup_keep_best,
     "neardup_cluster_sizes": neardup_cluster_sizes,
     "url_host_filter": url_host_filter,
+    "gopher_filter": gopher_filter,
     "repetition_stats": repetition_stats,
     "embedding_neardups": embedding_neardups,
     "embedding_neardups_auto": embedding_neardups_auto,
@@ -1794,6 +1915,7 @@ ORACLES = {
     "neardup_keep_best": _sql_neardup_keep_best(),
     "neardup_cluster_sizes": _sql_neardup_cluster_sizes(),
     "url_host_filter": _sql_url_host_filter(),
+    "gopher_filter": _sql_gopher_filter(),
     "repetition_stats": _sql_repetition(),
     "dsir_select": _sql_dsir_select(),
     "quality_linear_score": _sql_quality_linear(),

@@ -746,3 +746,58 @@ def test_url_host_filter_fires_every_rule(spark):
         spark, "/root/testdata/sf0.001"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_gopher_rules_per_rule(spark):
+    """Each Gopher rule fires on a text violating exactly that rule
+    (severity-ordered reason), and a clean doc passes all seven."""
+    clean = ("the quick brown fox and that have with of to be fine " * 8
+             ).strip()
+    cases = [
+        (0, clean, None),
+        (1, "too short to be a doc", "word_count"),
+        (2, ("pneumonoultramicroscopicsilico " * 60).strip(),
+         "mean_word_len"),
+        (3, clean + " " + ("# " * 20).strip(), "symbol_ratio"),
+        (4, "\n".join(["• the quick brown fox and that have with"] * 10),
+         "bullet_lines"),
+        (5, "\n".join([clean[:52]] * 6 + [clean[:52] + "..."] * 4),
+         "ellipsis_lines"),
+        (6, ("12345 6789 " * 30).strip(), "alpha_words"),
+        (7, ("quick brown fox jumps over lazy dog again " * 8).strip(),
+         "stopwords"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], ["doc_id", "text"]
+    )
+    sig = T.gopher_signals(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.gopher_reason(sig).alias("reason"),
+            T.gopher_keep(F.col("text")).alias("keep"),
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert out[i]["reason"] == want, (i, out[i]["reason"], want)
+        assert out[i]["keep"] == (want is None)
+
+
+def test_gopher_filter_planted_variants(spark):
+    """The driver query's planted variants route every doc_id % 8 class
+    to its designed reason — the value-hash oracle then proves DuckDB
+    agrees on the same integer arithmetic."""
+    from tesseract_ocr_service_spark.operators import queries as Q
+
+    rows = Q.gopher_filter(spark, "/root/testdata/sf0.001").collect()
+    want = {
+        0: None, 1: "word_count", 2: "mean_word_len", 3: "symbol_ratio",
+        4: "bullet_lines", 5: "ellipsis_lines", 6: "alpha_words",
+        7: "stopwords",
+    }
+    assert len(rows) > 0
+    for r in rows:
+        v = r["doc_id"] % 8
+        assert r["reason"] == want[v], (r["doc_id"], v, r["reason"])
+        assert r["keep"] == (1 if want[v] is None else 0)
