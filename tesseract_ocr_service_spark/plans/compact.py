@@ -1,0 +1,188 @@
+"""Small-file compaction for parquet datasets.
+
+A long-running extraction pipeline (daily dynamic-overwrite commits,
+`plans/commit.py`) accretes many small files per partition — the #1
+operational tax on a 100-TB lake: every downstream scan pays one task
++ one FS open per file, and the namenode/listing cost grows without
+bound. This plan rewrites a dataset to ~``target_bytes`` files while
+PRESERVING the partition layout, so readers' partition pruning is
+untouched.
+
+Shape (Spark-first, scales to any partition count):
+
+- per-partition byte sizes come from ONE recursive FS listing (at real
+  lake scale the table format's metadata — Iceberg manifests — serves
+  this; the FS walk is the filesystem-parquet stand-in, same as
+  plans/commit.py's marker protocol).
+- files-per-partition ``k_i = ceil(bytes_i / target)`` rides a TINY
+  (one row per partition) DataFrame broadcast-joined onto the data —
+  never a per-partition literal `when` chain (unbounded plan at 10^5
+  partitions) and never a driver loop over partitions (one job per
+  partition = one scheduler round-trip per directory).
+- each row gets ``salt = pmod(xxhash64(id), k_i)``; repartitioning by
+  (partition cols, salt) spreads a partition's rows over ~k_i output
+  tasks, so `partitionBy` emits ~k_i files of ~target size per
+  partition directory. AQE partition coalescing is disabled for this
+  one write (it would re-merge the deliberately-sized slices into one
+  oversized file — the opposite of the job's purpose) and the shuffle
+  partition count is over-provisioned to 2x the target file count so
+  hash collisions between (partition, salt) slices stay rare; file
+  counts are therefore approximate-by-design, like any size-targeted
+  compactor.
+- rows are deterministically placed (salt is a pure function of the id
+  column), so a crashed-and-retried compaction produces byte-stable
+  file contents; the write goes to a NEW root (swap is the caller's
+  atomic rename/metastore repoint) — compaction must never destroy
+  the only copy in place.
+
+Reference parity: the reference service has no storage layer (it
+returns extraction results over HTTP, `ocr/main.py`); compaction is
+part of the batch engine's own sink contract (SURVEY.md §2 S8/S10
+store operators at lake scale).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class CompactionLayout:
+    """Planned output layout (telemetry; returned, also printed by the
+    CLI): current vs target file counts and bytes."""
+
+    n_partitions: int
+    n_files_in: int
+    bytes_in: int
+    n_files_target: int
+
+
+def _list_leaf_files(spark: SparkSession, root: str):
+    """(dir_relpath, bytes) for every data file under root — one
+    recursive listing via the Hadoop FS API (no per-partition calls)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(conf)
+    base = fs.getFileStatus(path).getPath().toUri().getPath()
+    it = fs.listFiles(path, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        name = p.getName()
+        if name.startswith("_") or name.startswith("."):
+            continue  # markers / hidden metadata, not data
+        rel = p.getParent().toUri().getPath()[len(base):].strip("/")
+        out.append((rel, int(st.getLen())))
+    return out
+
+
+def _partition_values(rel: str) -> dict[str, str]:
+    """hive-style dir path 'a=1/b=2' -> {'a': '1', 'b': '2'}."""
+    vals = {}
+    for seg in rel.split("/"):
+        if "=" in seg:
+            k, v = seg.split("=", 1)
+            vals[k] = v
+    return vals
+
+
+def plan_compaction(
+    spark: SparkSession,
+    in_root: str,
+    target_bytes: int = 512 * 1024 * 1024,
+) -> tuple[DataFrame, CompactionLayout]:
+    """Per-partition target file counts as a tiny broadcastable
+    DataFrame ``(partition cols..., k)`` plus layout telemetry."""
+    files = _list_leaf_files(spark, in_root)
+    sizes: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    for rel, n in files:
+        sizes[rel] = sizes.get(rel, 0) + n
+        counts[rel] = counts.get(rel, 0) + 1
+    rows = []
+    pcols: list[str] = []
+    for rel, b in sorted(sizes.items()):
+        vals = _partition_values(rel)
+        pcols = pcols or sorted(vals)
+        k = max(1, math.ceil(b / target_bytes))
+        rows.append((*[vals[c] for c in sorted(vals)], k))
+    layout = CompactionLayout(
+        n_partitions=len(sizes),
+        n_files_in=sum(counts.values()),
+        bytes_in=sum(sizes.values()),
+        n_files_target=sum(r[-1] for r in rows),
+    )
+    schema = ", ".join([f"`{c}` string" for c in pcols] + ["k int"])
+    plan = spark.createDataFrame(rows or [(1,)], schema)
+    return plan, layout
+
+
+def compact(
+    spark: SparkSession,
+    in_root: str,
+    out_root: str,
+    id_col: str,
+    target_bytes: int = 512 * 1024 * 1024,
+    sort_within: list[str] | None = None,
+) -> CompactionLayout:
+    """Rewrite ``in_root`` under ``out_root`` at ~target_bytes files
+    per partition, preserving the hive partition layout. ``sort_within``
+    orders rows inside each output file (clustering for downstream
+    range scans + better column encodings)."""
+    plan, layout = plan_compaction(spark, in_root, target_bytes)
+    df = spark.read.parquet(in_root)
+    pcols = [c for c in plan.columns if c != "k"]
+    writer_opts = {"compression": "zstd"}
+    if not pcols:
+        k = int(plan.agg(F.max("k")).first()[0] or 1)
+        out = df.repartition(k, F.pmod(F.xxhash64(id_col), F.lit(k)))
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        out.write.mode("overwrite").options(**writer_opts).parquet(
+            out_root
+        )
+        return layout
+    # partition values read back typed; the plan table carries strings —
+    # cast the join keys, never the data columns
+    joined = df.join(
+        F.broadcast(plan),
+        [df[c].cast("string") == plan[c] for c in pcols],
+        "left",
+    ).drop(*[plan[c] for c in pcols])
+    salted = joined.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(id_col), F.coalesce(F.col("k"), F.lit(1))),
+    ).drop("k")
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_coalesce = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(int(prev_shuffle), 2 * layout.n_files_target)),
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", "false"
+        )
+        out = salted.repartition(*pcols, "_salt").drop("_salt")
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        (
+            out.write.mode("overwrite")
+            .options(**writer_opts)
+            .partitionBy(*pcols)
+            .parquet(out_root)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.enabled", prev_coalesce
+        )
+    return layout

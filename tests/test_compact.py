@@ -1,0 +1,126 @@
+"""Small-file compaction (plans/compact.py): layout planning, file
+counts, content equality, partition-layout preservation, determinism."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_ocr_service_spark.plans import compact as C
+
+
+def _data_files(root: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(root, "**", "*.parquet"),
+                           recursive=True)
+        if not os.path.basename(p).startswith(("_", "."))
+    ]
+
+
+@pytest.fixture()
+def fragmented(spark, tmp_path):
+    """3 hive partitions x 16 files each of ~100 rows — the small-file
+    mess a daily committer accretes."""
+    root = str(tmp_path / "frag")
+    df = spark.range(0, 4800).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("day"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(16).write.partitionBy("day").parquet(root)
+    return root
+
+
+def test_plan_layout_counts(spark, fragmented):
+    plan, layout = C.plan_compaction(spark, fragmented, target_bytes=1 << 40)
+    assert layout.n_partitions == 3
+    assert layout.n_files_in >= 3 * 8  # 16 writers, some may be empty
+    assert layout.n_files_target == 3  # huge target -> 1 file each
+    assert set(plan.columns) == {"day", "k"}
+    assert plan.count() == 3
+
+
+def test_compact_merges_files_and_preserves_rows(spark, fragmented, tmp_path):
+    out = str(tmp_path / "tidy")
+    layout = C.compact(
+        spark, fragmented, out, id_col="doc_id", target_bytes=1 << 40,
+        sort_within=["doc_id"],
+    )
+    # one file per partition dir, hive layout preserved
+    for day in "012":
+        files = _data_files(os.path.join(out, f"day={day}"))
+        assert len(files) == 1, (day, files)
+    before = spark.read.parquet(fragmented).orderBy("doc_id").collect()
+    after = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in before] == [r["doc_id"] for r in after]
+    assert [r["payload"] for r in before] == [r["payload"] for r in after]
+    assert layout.n_files_in > layout.n_files_target
+
+
+def test_compact_splits_to_target_and_is_deterministic(
+    spark, fragmented, tmp_path
+):
+    """A small byte target yields multiple files per partition; file
+    placement is a pure function of the id, so a rerun lands every row
+    in the same (partition, salt) slice."""
+    plan, layout = C.plan_compaction(spark, fragmented, target_bytes=4096)
+    ks = {r["day"]: r["k"] for r in plan.collect()}
+    assert all(k > 1 for k in ks.values()), ks
+    out1 = str(tmp_path / "t1")
+    out2 = str(tmp_path / "t2")
+    C.compact(spark, fragmented, out1, id_col="doc_id", target_bytes=4096)
+    C.compact(spark, fragmented, out2, id_col="doc_id", target_bytes=4096)
+    for day, k in ks.items():
+        files = _data_files(os.path.join(out1, f"day={day}"))
+        # approximate-by-design: (partition, salt) slices can hash-
+        # collide into one task, so bound loosely around the plan
+        assert k / 3 <= len(files) <= 2 * k, (day, k, len(files))
+        assert len(files) > 1
+    # determinism: the multiset of per-file id sets agrees across runs
+    def file_id_sets(root):
+        return sorted(
+            tuple(sorted(
+                r["doc_id"]
+                for r in spark.read.parquet(f).collect()
+            ))
+            for f in _data_files(root)
+        )
+
+    assert file_id_sets(out1) == file_id_sets(out2)
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    root = str(tmp_path / "flat")
+    spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).repartition(12).write.parquet(root)
+    out = str(tmp_path / "flat_tidy")
+    layout = C.compact(
+        spark, root, out, id_col="doc_id", target_bytes=1 << 40
+    )
+    assert layout.n_partitions == 1  # the root itself
+    assert len(_data_files(out)) == 1
+    assert spark.read.parquet(out).count() == 2000
+
+
+def test_compact_job_cli(spark, fragmented, tmp_path, capsys):
+    import json
+
+    from jobs import compact as J
+
+    out = str(tmp_path / "cli_out")
+    rc = J.main(
+        [
+            "--in", fragmented, "--out", out, "--id-col", "doc_id",
+            "--target-mb", "1024",
+        ]
+    )
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["n_partitions"] == 3
+    assert spark.read.parquet(out).count() == 4800
