@@ -255,3 +255,39 @@ def test_hashed_linear_score_weight_join_is_broadcast(spark):
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert plan.count("SortMergeJoin") <= 1, plan
     assert "Cartesian" not in plan
+
+
+def test_gopher_filter_is_jvm_only_single_scan(spark):
+    """The Gopher rule set must stay whole-JVM (no Python eval of any
+    kind) and read the documents table exactly once — at 10^12 rows a
+    second scan or a Python stage IS the cost."""
+    from tesseract_ocr_service_spark.operators import queries as Q
+
+    plan = _plan(Q.gopher_filter(spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan  # pure per-row projection
+
+
+def test_compaction_plan_table_join_is_broadcast(spark, tmp_path):
+    """compact()'s per-partition k table must broadcast: a shuffle
+    join keyed on partition values would re-shuffle the whole dataset
+    once more than the placement repartition already does."""
+    from pyspark.sql import functions as F
+
+    from tesseract_ocr_service_spark.plans import compact as C
+
+    root = str(tmp_path / "frag")
+    spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("day"),
+    ).repartition(4).write.partitionBy("day").parquet(root)
+    plan_df, layout = C.plan_compaction(spark, root, target_bytes=1 << 30)
+    df = spark.read.parquet(root)
+    pcols = [c for c in plan_df.columns if c != "k"]
+    joined = df.join(
+        F.broadcast(plan_df),
+        [df[c].cast("string") == plan_df[c] for c in pcols],
+        "left",
+    )
+    assert "BroadcastHashJoin" in _plan(joined)
