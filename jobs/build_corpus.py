@@ -43,6 +43,15 @@ import argparse
 import json
 import sys
 
+# plain `python jobs/<name>.py` local smoke: the script dir (jobs/) is
+# on sys.path but the repo root is not; under spark-submit --py-files
+# the zip already provides the package and this is a no-op
+import os as _os
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
@@ -72,6 +81,14 @@ def parse_args(argv):
     )
     p.add_argument(
         "--no-quality", action="store_true", help="skip the C4/Gopher gate"
+    )
+    p.add_argument(
+        "--quality-gate",
+        choices=("c4", "gopher"),
+        default="c4",
+        help="quality rule set: c4 (textstats.quality_keep, the"
+        " compact default) or gopher (textstats.gopher_keep, the"
+        " complete Rae et al. 2021 rule set)",
     )
     p.add_argument(
         "--no-dedup", action="store_true", help="skip exact+near dedup"
@@ -119,8 +136,13 @@ def build(spark, args) -> dict:
     funnel = {"input": docs.count()}
 
     if not args.no_quality:
+        gate = (
+            T.gopher_keep
+            if args.quality_gate == "gopher"
+            else T.quality_keep
+        )
         docs = _truncate_lineage(
-            docs.where(T.quality_keep(F.col(text_c)).cast("boolean"))
+            docs.where(gate(F.col(text_c)).cast("boolean"))
         )
         funnel["quality_kept"] = docs.count()
 
@@ -180,6 +202,14 @@ def build(spark, args) -> dict:
             .drop("_n", "_n_min")
         )
         funnel["sampled"] = docs.count()
+
+    if docs.isEmpty():
+        # an all-dropped funnel is a config error (wrong gate for the
+        # corpus, over-aggressive keep fractions) — fail loudly with
+        # the funnel instead of writing an unreadable empty dataset
+        raise ValueError(
+            f"no documents survived the curation funnel: {funnel}"
+        )
 
     # pack: next-fit token bins per md5 shard (same rule as
     # relational.pack_sequences, applied to the SURVIVING docs)

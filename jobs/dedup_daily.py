@@ -31,6 +31,15 @@ import argparse
 import json
 import sys
 
+# plain `python jobs/<name>.py` local smoke: the script dir (jobs/) is
+# on sys.path but the repo root is not; under spark-submit --py-files
+# the zip already provides the package and this is a no-op
+import os as _os
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)

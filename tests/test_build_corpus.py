@@ -121,3 +121,54 @@ def test_build_corpus_longest_retention(spark, tmp_path):
         spark.read.parquet(f"{out2}/data").select("doc_id").collect()
     )
     assert kept2 == [1, 3]
+
+
+def test_build_corpus_gopher_gate(spark, tmp_path):
+    """--quality-gate gopher swaps the C4 keep rule for the complete
+    Gopher rule set. The synthetic corpus fails Gopher wholesale (no
+    stopwords / too short), so plant a mixed corpus: Gopher-passing
+    prose for even ids, word-salad for odd — the funnel must keep
+    exactly the independent gopher_keep count, and the all-dropped
+    case must fail loudly instead of writing an unreadable dataset."""
+    from pyspark.sql import functions as F
+
+    from tesseract_ocr_service_spark.functions import textstats as T
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    try:
+        import build_corpus as J
+    finally:
+        sys.path.pop(0)
+    prose = ("the quick brown fox and that have with of to be fine " * 8
+             ).strip()
+    docs_path = str(tmp_path / "docs")
+    spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, prose)
+        .otherwise(F.lit("salad words only")).alias("text"),
+        F.lit("en").alias("lang"),
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "gq")
+    args = J.parse_args(
+        [
+            "--docs", docs_path, "--out", out, "--quality-gate", "gopher",
+            "--no-dedup", "--no-perplexity", "--shards", "2",
+        ]
+    )
+    f = J.build(spark, args)
+    docs = spark.read.parquet(docs_path)
+    want = docs.where(T.gopher_keep(F.col("text"))).count()
+    assert want == 100
+    assert f["quality_kept"] == want
+    assert f["input"] == 200
+
+    # all-dropped funnel: loud, typed failure (not UNABLE_TO_INFER_SCHEMA)
+    args2 = J.parse_args(
+        [
+            "--docs", "/root/testdata/sf0.001", "--out",
+            str(tmp_path / "empty"), "--quality-gate", "gopher",
+            "--no-dedup", "--no-perplexity", "--shards", "2",
+        ]
+    )
+    with pytest.raises(ValueError, match="no documents survived"):
+        J.build(spark, args2)
