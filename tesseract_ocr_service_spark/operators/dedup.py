@@ -311,6 +311,7 @@ def dedup_paragraphs(
     text_col: str = "text",
     sep: str = "\n",
     min_df: int = 2,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Corpus-level line/paragraph dedup (the C4-style pass published
     training corpora run after document dedup): split each document on
@@ -323,6 +324,15 @@ def dedup_paragraphs(
     F.split takes a pattern; sep='.' or '|' must not split everywhere)
     and is used verbatim to rejoin survivors.
 
+    ``scope_col`` narrows the frequency count to a grouping key —
+    scope_col='host' is the RefinedWeb/CCNet per-SITE boilerplate rule:
+    a line repeated across one host's pages is template chrome and is
+    removed even when globally rare, while a line that is globally
+    common but unique within each host (a licence sentence quoted once
+    per site) survives. At web scale the scoped window is also the
+    SAFER shuffle: hot global lines ('Home', '') are split across
+    hosts instead of landing on one task.
+
     Plan shape: explode is narrow; the corpus-wide occurrence count is
     ONE window over the line (the unavoidable global-frequency shuffle
     of any line-dedup), and the reassembly groupBy(id) is the second —
@@ -333,12 +343,14 @@ def dedup_paragraphs(
 
     lines = df.select(
         F.col(id_col).alias("id"),
+        *([F.col(scope_col)] if scope_col else []),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
         ).alias("pos", "line"),
     )
+    occ_keys = ([scope_col] if scope_col else []) + ["line"]
     occ = lines.withColumn(
-        "_occ", F.count("*").over(Window.partitionBy("line"))
+        "_occ", F.count("*").over(Window.partitionBy(*occ_keys))
     )
     keep = F.col("_occ") < min_df
     agg = occ.groupBy("id").agg(

@@ -1610,6 +1610,87 @@ def _sql_gopher_filter() -> str:
     """
 
 
+#: planted per-host texts for the RefinedWeb per-site boilerplate rule
+#: — one shared SQL expression both engines evaluate (same trick as
+#: the Gopher filter). Three line kinds per doc: a host banner shared
+#: by every page of the host (MUST drop: within-host occ >= 2), a
+#: licence line appearing on exactly ONE page of EACH host (globally
+#: common, within-host unique — MUST survive; a corpus-global count
+#: would wrongly drop it, which is exactly the semantic difference the
+#: hash proves), and a per-doc content line (always kept).
+_HOSTLINE_TEXT_SQL = """CASE WHEN doc_id % 101 = 0 THEN
+        'welcome to host h' || CAST(doc_id % 5 AS STRING) || chr(10)
+        || 'copyright notice twenty twenty six' || chr(10)
+        || 'doc content number ' || CAST(doc_id AS STRING)
+    ELSE
+        'welcome to host h' || CAST(doc_id % 5 AS STRING) || chr(10)
+        || 'doc content number ' || CAST(doc_id AS STRING)
+    END"""
+
+
+def host_line_dedup(spark, sf_dir):
+    """RefinedWeb/CCNet per-SITE boilerplate removal: line dedup with
+    the occurrence count scoped to the host (dedup_paragraphs
+    scope_col) — template chrome repeated across one host's pages is
+    removed even when globally rare, while a line that is globally
+    common but unique within each host survives. Same 2-exchange
+    1-scan shape as the global pass; the scoped window is also the
+    safer shuffle at web scale (hot global lines split across hosts)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string")).alias(
+            "host"
+        ),
+        F.expr(_HOSTLINE_TEXT_SQL).alias("text"),
+    )
+    out = D.dedup_paragraphs(
+        docs, "doc_id", "text", sep="\n", min_df=2, scope_col="host"
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias(
+            "host"
+        ),
+        "text_dedup",
+        "n_lines_kept",
+        "n_lines_dropped",
+    )
+
+
+def _sql_host_line_dedup() -> str:
+    """DuckDB replay: identical planted text, occurrence count over
+    (host, line), ordered reassembly."""
+    return f"""
+        WITH planted AS (
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 5 AS STRING) AS host,
+                   {_HOSTLINE_TEXT_SQL} AS text
+            FROM documents
+        ),
+        lines AS (
+            SELECT doc_id, host,
+                   unnest(string_split(text, chr(10))) AS line,
+                   generate_subscripts(string_split(text, chr(10)), 1)
+                       AS pos
+            FROM planted
+        ),
+        occ AS (
+            SELECT doc_id, host, pos, line,
+                   count(*) OVER (PARTITION BY host, line) AS oc
+            FROM lines
+        )
+        SELECT doc_id, host,
+               coalesce(string_agg(CASE WHEN oc < 2 THEN line END,
+                                   chr(10) ORDER BY pos), '')
+                   AS text_dedup,
+               CAST(count(CASE WHEN oc < 2 THEN 1 END) AS BIGINT)
+                   AS n_lines_kept,
+               CAST(count(CASE WHEN oc >= 2 THEN 1 END) AS BIGINT)
+                   AS n_lines_dropped
+        FROM occ GROUP BY doc_id, host
+    """
+
+
 SEM_K = 16  # SemDeDup codebook size: K is the paper's pair-count knob
 SEM_T = 0.3  # semantic-duplicate cosine (matches NEARDUP_T's data scale)
 
@@ -1875,6 +1956,7 @@ SPARK_QUERIES = {
     "neardup_cluster_sizes": neardup_cluster_sizes,
     "url_host_filter": url_host_filter,
     "gopher_filter": gopher_filter,
+    "host_line_dedup": host_line_dedup,
     "repetition_stats": repetition_stats,
     "embedding_neardups": embedding_neardups,
     "embedding_neardups_auto": embedding_neardups_auto,
@@ -1916,6 +1998,7 @@ ORACLES = {
     "neardup_cluster_sizes": _sql_neardup_cluster_sizes(),
     "url_host_filter": _sql_url_host_filter(),
     "gopher_filter": _sql_gopher_filter(),
+    "host_line_dedup": _sql_host_line_dedup(),
     "repetition_stats": _sql_repetition(),
     "dsir_select": _sql_dsir_select(),
     "quality_linear_score": _sql_quality_linear(),

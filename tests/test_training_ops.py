@@ -801,3 +801,39 @@ def test_gopher_filter_planted_variants(spark):
         v = r["doc_id"] % 8
         assert r["reason"] == want[v], (r["doc_id"], v, r["reason"])
         assert r["keep"] == (1 if want[v] is None else 0)
+
+
+def test_dedup_paragraphs_host_scope(spark):
+    """scope_col='host': a line repeated WITHIN a host drops; the same
+    line text appearing once per host (globally frequent) survives —
+    the semantic difference vs the global pass."""
+    rows = [
+        # host a: banner repeated on both pages -> dropped
+        (1, "a", "banner of a\nunique one"),
+        (2, "a", "banner of a\nunique two"),
+        # hosts b and c each quote the SAME licence line once:
+        # globally occ=2, per-host occ=1 -> kept under host scope
+        (3, "b", "licence line\nbody three"),
+        (4, "c", "licence line\nbody four"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "host", "text"])
+    scoped = {
+        r["id"]: r
+        for r in D.dedup_paragraphs(
+            df, "doc_id", "text", min_df=2, scope_col="host"
+        ).collect()
+    }
+    assert scoped[1]["text_dedup"] == "unique one"
+    assert scoped[2]["text_dedup"] == "unique two"
+    assert scoped[3]["text_dedup"] == "licence line\nbody three"
+    assert scoped[4]["text_dedup"] == "licence line\nbody four"
+    assert scoped[1]["n_lines_dropped"] == 1
+    assert scoped[3]["n_lines_dropped"] == 0
+    # the global pass drops the licence line instead
+    glob = {
+        r["id"]: r
+        for r in D.dedup_paragraphs(df, "doc_id", "text", min_df=2)
+        .collect()
+    }
+    assert glob[3]["text_dedup"] == "body three"
+    assert glob[4]["text_dedup"] == "body four"
