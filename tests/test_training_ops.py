@@ -837,3 +837,79 @@ def test_dedup_paragraphs_host_scope(spark):
     }
     assert glob[3]["text_dedup"] == "body three"
     assert glob[4]["text_dedup"] == "body four"
+
+
+def _gopher_reason_py(text: str):
+    """Independent pure-python transcription of the Gopher rule chain
+    (tests/oracle.py discipline): same integer arithmetic, same ASCII
+    regex semantics as the JVM expressions."""
+    import re
+
+    toks = [t for t in re.split(r"[ \t\n\x0b\x0c\r]+", text) if t != ""]
+    n_words = len(toks)
+    n_word_chars = len(re.sub(r"[ \t\n\x0b\x0c\r]", "", text))
+    n_hash = text.count("#")
+    n_ellipsis = len(re.findall(r"\.\.\.|…", text))
+    n_lines = text.count("\n") + 1
+    n_bullet = len(re.findall(r"(?m)^[-•*] ", text))
+    n_ell_end = len(re.findall(r"(?m)(?:\.\.\.|…)$", text))
+    n_alpha = sum(1 for t in toks if re.search(r"[A-Za-z]", t))
+    stops = {
+        t.lower() for t in toks if t.lower() in T.GOPHER_STOPWORDS
+    }
+    if n_words < 50 or n_words > 100000:
+        return "word_count"
+    if n_word_chars < 3 * n_words or n_word_chars > 10 * n_words:
+        return "mean_word_len"
+    if 10 * (n_hash + n_ellipsis) > n_words:
+        return "symbol_ratio"
+    if 10 * n_bullet > 9 * n_lines:
+        return "bullet_lines"
+    if 10 * n_ell_end > 3 * n_lines:
+        return "ellipsis_lines"
+    if 5 * n_alpha < 4 * n_words:
+        return "alpha_words"
+    if len(stops) < 2:
+        return "stopwords"
+    return None
+
+
+def test_gopher_rules_property(spark):
+    """Hypothesis: on arbitrary ASCII-ish texts (plus the non-ASCII
+    bullet/ellipsis glyphs the rules name), the Spark rule chain agrees
+    with the independent python transcription — pinning tokenizer,
+    regex, and integer-threshold semantics, not just the 8 planted
+    variants. One Spark job per example batch."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(
+        alphabet="abcdeTHE.#…-*• 0123456789", min_size=0, max_size=12
+    )
+    chunk = st.sampled_from(
+        ["the", "be", "to", "of", "and", "that", "have", "with",
+         "...", "…", "# #", "- item", "• item", "\n", "  "]
+    )
+    doc = st.lists(st.one_of(word, chunk), min_size=0, max_size=120).map(
+        " ".join
+    )
+
+    @given(st.lists(doc, min_size=1, max_size=25))
+    @settings(max_examples=20, deadline=None)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        )
+        got = {
+            r["doc_id"]: r["reason"]
+            for r in df.select(
+                "doc_id",
+                T.gopher_reason(T.gopher_signals(F.col("text"))).alias(
+                    "reason"
+                ),
+            ).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == _gopher_reason_py(t), (repr(t), got[i])
+
+    check()
