@@ -1,0 +1,115 @@
+"""WARC source (sources/warc.py): spec framing round-trip, gzip member
+layouts, record-type filtering, truncation tolerance, and end-to-end
+composition with the extraction kernel against the parquet path."""
+
+from __future__ import annotations
+
+import gzip
+import os
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from tesseract_ocr_service_spark.operators import extract as X
+from tesseract_ocr_service_spark.sources import gen
+from tesseract_ocr_service_spark.sources import warc as W
+
+
+def _records(n=40, seed=11):
+    """(url, ts, body) triples with REAL generator payloads (html +
+    %PDF layout streams + garbage edge rows)."""
+    out = []
+    for i in range(n):
+        row = gen.doc(i, seed)
+        out.append((row["url"], row["warc_ts"], bytes(row["html"])))
+    return out
+
+
+def test_roundtrip_both_gzip_layouts(spark, tmp_path):
+    recs = _records(30)
+    p1 = str(tmp_path / "a.warc.gz")
+    p2 = str(tmp_path / "b.warc.gz")
+    W.write_warc(p1, recs, per_record_gzip=True)
+    W.write_warc(p2, recs, per_record_gzip=False)
+    d1 = W.read_warc(spark, p1).orderBy("url").collect()
+    d2 = W.read_warc(spark, p2).orderBy("url").collect()
+    assert len(d1) == len(d2) == 30  # warcinfo record skipped
+    for a, b in zip(d1, d2):
+        assert a["url"] == b["url"]
+        assert bytes(a["html"]) == bytes(b["html"])
+        assert a["warc_day"] == b["warc_day"] == str(a["warc_ts"].date())
+    by_url = {r["url"]: bytes(r["html"]) for r in d1}
+    for url, _ts, body in recs:
+        assert by_url[url] == body
+
+
+def test_truncated_tail_keeps_whole_records(spark, tmp_path):
+    recs = _records(10)
+    p = str(tmp_path / "t.warc.gz")
+    W.write_warc(p, recs, per_record_gzip=False)
+    raw = gzip.decompress(open(p, "rb").read())
+    cut = str(tmp_path / "cut.warc.gz")
+    with gzip.open(cut, "wb") as f:
+        f.write(raw[: len(raw) - 40])  # chop into the final record
+    got = W.read_warc(spark, cut).collect()
+    assert len(got) == 9  # last record dropped, none corrupted
+    by_url = {r["url"]: bytes(r["html"]) for r in got}
+    for url, _ts, body in recs[:9]:
+        assert by_url[url] == body
+
+
+def test_non_response_records_skipped_and_bad_file_ignored(
+    spark, tmp_path
+):
+    recs = _records(5)
+    p = str(tmp_path / "x.warc.gz")
+    W.write_warc(p, recs)  # includes a warcinfo record
+    junk = str(tmp_path / "junk.warc.gz")
+    open(junk, "wb").write(b"not gzip at all")
+    got = W.read_warc(spark, str(tmp_path)).collect()
+    assert len(got) == 5
+
+
+def test_warc_extraction_matches_parquet_path(spark, tmp_path):
+    """THE composition test: the same payloads through (a) the parquet
+    pages table and (b) a WARC archive must extract byte-identically —
+    the source format must not perturb the contract."""
+    pages_path = str(tmp_path / "pages")
+    gen.write_pages(spark, pages_path, 60, seed=11, partitions=2)
+    rows = spark.read.parquet(pages_path).select(
+        "url", "warc_ts", "html"
+    ).collect()
+    p = str(tmp_path / "cc.warc.gz")
+    W.write_warc(
+        p, [(r["url"], r["warc_ts"], bytes(r["html"])) for r in rows]
+    )
+    via_parquet = {
+        r["url"]: (r["status"], r["canonical_text"])
+        for r in X.extract(X.read_pages(spark, pages_path)).select(
+            "url", "status", "canonical_text"
+        ).collect()
+    }
+    via_warc = {
+        r["url"]: (r["status"], r["canonical_text"])
+        for r in X.extract(W.read_warc(spark, p)).select(
+            "url", "status", "canonical_text"
+        ).collect()
+    }
+    assert via_warc == via_parquet
+    assert len(via_warc) == 60
+
+
+def test_warc_scan_is_one_arrow_stage(spark, tmp_path):
+    """Plan shape: binaryFile scan -> ONE Arrow-batched parse stage,
+    no shuffle before extraction's own salting."""
+    p = str(tmp_path / "s.warc.gz")
+    W.write_warc(p, _records(5))
+    plan = (
+        W.read_warc(spark, p)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
