@@ -27,6 +27,15 @@ import argparse
 import json
 import sys
 
+# plain `python jobs/extract.py` local smoke: the script dir (jobs/) is
+# on sys.path but the repo root is not; under spark-submit --py-files
+# the zip already provides the package and this is a no-op
+import os as _os
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
@@ -45,6 +54,14 @@ def parse_args(argv):
     p.add_argument("--page-start", type=int, default=None)
     p.add_argument("--page-end", type=int, default=None)
     p.add_argument("--no-spans", action="store_true")
+    p.add_argument(
+        "--format",
+        dest="source_format",
+        choices=("parquet", "warc"),
+        default="parquet",
+        help="pages input: partitioned parquet table (default) or"
+        " .warc.gz archives read directly (sources/warc.py)",
+    )
     p.add_argument("--master", default=None, help="override (local runs)")
     return p.parse_args(argv)
 
@@ -83,6 +100,7 @@ def main(argv=None) -> int:
         ts_to=args.ts_to,
         salt_partitions=args.salt,
         languages=langs,
+        source_format=args.source_format,
     )
     print(
         json.dumps(

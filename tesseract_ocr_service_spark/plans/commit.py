@@ -109,6 +109,7 @@ def run_checkpointed(
     ts_to=None,
     salt_partitions: int = 0,
     languages=None,
+    source_format: str = "parquet",
     _fail_before_commit: bool = False,  # test hook: crash between data & marker
 ) -> RunSummary:
     """One idempotent, resumable extraction run over [ts_from, ts_to].
@@ -118,9 +119,25 @@ def run_checkpointed(
     language-filtered run will be skipped by later runs against the
     same out_root even with a wider filter. One output root == one
     job config; use a fresh out_root when the config changes.
+
+    ``source_format='warc'`` reads ``.warc.gz`` archives directly
+    (sources/warc.py) — the direct-from-crawl path. Its warc_day is a
+    parsed column, not a directory partition, so the ts range filters
+    rows but cannot prune archive files; for repeated runs over one
+    crawl, stage to the partitioned parquet/Iceberg table first (one
+    extraction-free pass) and run this job against that.
     """
     t0 = time.perf_counter()
-    pages = X.read_pages(spark, pages_path, ts_from, ts_to)
+    if source_format == "warc":
+        from ..sources import warc as Wsrc
+
+        pages = Wsrc.read_warc(spark, pages_path)
+        if ts_from is not None:
+            pages = pages.where(F.col("warc_day") >= F.lit(str(ts_from)))
+        if ts_to is not None:
+            pages = pages.where(F.col("warc_day") <= F.lit(str(ts_to)))
+    else:
+        pages = X.read_pages(spark, pages_path, ts_from, ts_to)
 
     # ---- step 1: partition-level anti-join against the commit log ----
     input_days = sorted(

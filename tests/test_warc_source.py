@@ -113,3 +113,40 @@ def test_warc_scan_is_one_arrow_stage(spark, tmp_path):
     )
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_checkpointed_run_over_warc(spark, tmp_path):
+    """jobs-level composition: the checkpointed extraction run consumes
+    archives directly (source_format='warc'), commits per warc_day, and
+    a re-run skips every committed day."""
+    from datetime import datetime
+
+    from tesseract_ocr_service_spark.config import ExtractConfig
+    from tesseract_ocr_service_spark.plans import commit as Cm
+
+    recs = [
+        (f"https://ex.com/p/{i}",
+         datetime(2026, 1, 1 + (i % 2)),
+         b"<html><body><p>" + (b"alpha beta gamma delta " * 8)
+         + str(i).encode() + b"</p></body></html>")
+        for i in range(20)
+    ]
+    arch = tmp_path / "archives"
+    arch.mkdir()
+    W.write_warc(str(arch / "day.warc.gz"), recs)
+    out = str(tmp_path / "out")
+    s1 = Cm.run_checkpointed(
+        spark, str(arch), out, ExtractConfig(),
+        source_format="warc",
+    )
+    assert sorted(s1.pending_days) == ["2026-01-01", "2026-01-02"]
+    assert s1.n_docs == 20
+    s2 = Cm.run_checkpointed(
+        spark, str(arch), out, ExtractConfig(),
+        source_format="warc",
+    )
+    assert s2.pending_days == [] and s2.skipped_days == [
+        "2026-01-01", "2026-01-02",
+    ]
+    got = Cm.read_extracted(spark, out)
+    assert got.count() == 20
