@@ -46,6 +46,37 @@ def stream_pages(
     return reader.load(landing_path)
 
 
+def stream_warc(
+    spark: SparkSession,
+    landing_path: str,
+    max_files_per_trigger: Optional[int] = None,
+) -> DataFrame:
+    """Stream ``.warc.gz`` archives as they land (crawler hand-off) into
+    the canonical pages shape — binaryFile is a regular file-source
+    stream, and the WARC parse (sources/warc._parse_archives) is a
+    stateless mapInPandas, so the same exactly-once epoch story applies
+    unchanged. ``maxFilesPerTrigger`` here bounds ARCHIVES per epoch
+    (each ~1 GB on a real crawl — the natural rate-limit unit)."""
+    from ..sources import warc as Wsrc
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    files = reader.load(landing_path).select("path", "content")
+    return files.mapInPandas(
+        Wsrc._parse_archives, Wsrc.WARC_PAGES_SCHEMA
+    )
+
+
 def epoch_sink(out_root: str, cfg: ExtractConfig = ExtractConfig()):
     """foreachBatch sink: extract + write keyed by (epoch_id, warc_day)
     with dynamic partition overwrite — replaying an epoch rewrites
@@ -74,13 +105,18 @@ def start_incremental_extract(
     cfg: ExtractConfig = ExtractConfig(),
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
+    source_format: str = "parquet",
 ):
     """Start (and return) the streaming query. With available_now=True it
     drains the backlog and finishes (await with .awaitTermination()).
     ``max_files_per_trigger`` bounds each micro-batch's input (backlog
     catch-up in rate-limited epochs instead of one giant batch —
     availableNow honors it, draining in multiple epochs)."""
-    pages = stream_pages(spark, landing_path, max_files_per_trigger)
+    pages = (
+        stream_warc(spark, landing_path, max_files_per_trigger)
+        if source_format == "warc"
+        else stream_pages(spark, landing_path, max_files_per_trigger)
+    )
     writer = pages.writeStream.foreachBatch(
         epoch_sink(out_root, cfg)
     ).option("checkpointLocation", checkpoint)

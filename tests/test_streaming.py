@@ -322,3 +322,39 @@ def test_rate_limited_backlog_drains_in_multiple_isolated_epochs(
     }
     assert sum(per_epoch.values()) == 60
     assert all(n > 0 for n in per_epoch.values())
+
+
+def test_streaming_warc_incremental_extract(spark, tmp_path):
+    """WARC landing dir: archives stream through the same kernel +
+    epoch sink; a second wave processes only the newly landed archive
+    (checkpointed source offsets), exactly-once story unchanged."""
+    from tesseract_ocr_service_spark.sources import warc as W
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os
+
+    os.makedirs(landing)
+    recs = [
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in (gen.doc(i, 29) for i in range(80))
+    ]
+    W.write_warc(f"{landing}/cc-0.warc.gz", recs[:50])
+    q = ingest.start_incremental_extract(
+        spark, landing, out, ckpt, source_format="warc"
+    )
+    q.awaitTermination(300)
+    ext = spark.read.parquet(f"{out}/extracted")
+    assert ext.count() == 50
+
+    W.write_warc(
+        f"{landing}/cc-1.warc.gz", recs[50:], per_record_gzip=False
+    )
+    q = ingest.start_incremental_extract(
+        spark, landing, out, ckpt, source_format="warc"
+    )
+    q.awaitTermination(300)
+    ext = spark.read.parquet(f"{out}/extracted")
+    assert ext.count() == 80
+    assert ext.select("url").distinct().count() == 80
