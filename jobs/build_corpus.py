@@ -203,7 +203,9 @@ def build(spark, args) -> dict:
         )
         funnel["sampled"] = docs.count()
 
-    if docs.isEmpty():
+    # the funnel's last recorded count IS the current row count (each
+    # stage counts right after producing docs) — no extra action needed
+    if list(funnel.values())[-1] == 0:
         # an all-dropped funnel is a config error (wrong gate for the
         # corpus, over-aggressive keep fractions) — fail loudly with
         # the funnel instead of writing an unreadable empty dataset

@@ -99,9 +99,14 @@ def export(spark, args) -> dict:
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{args.out_root}/_manifest"
     )
-    m = manifest.agg(
-        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
-    ).first()
+    # totals from the just-written (tiny) manifest — summing the lazy
+    # `manifest` would re-run the whole source scan + token count a
+    # third time (CLAUDE.md extra-consumer rule)
+    m = (
+        spark.read.parquet(f"{args.out_root}/_manifest")
+        .agg(F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t"))
+        .first()
+    )
     return {
         "n_docs": int(m["d"] or 0),
         "n_tokens": int(m["t"] or 0),

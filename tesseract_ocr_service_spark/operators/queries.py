@@ -1573,8 +1573,8 @@ def _sql_gopher_filter() -> str:
                    len(list_filter(toks,
                        x -> regexp_matches(x, '[A-Za-z]')))
                        AS n_alpha_words,
-                   len(list_distinct(list_filter(toks,
-                       x -> lower(x) IN ({stop}))))
+                   len(list_distinct(list_transform(list_filter(toks,
+                       x -> lower(x) IN ({stop})), x -> lower(x))))
                        AS n_stop_distinct
             FROM toked
         ),

@@ -128,7 +128,10 @@ def run_checkpointed(
     extraction-free pass) and run this job against that.
     """
     t0 = time.perf_counter()
+    persisted = None
     if source_format == "warc":
+        from pyspark import StorageLevel
+
         from ..sources import warc as Wsrc
 
         pages = Wsrc.read_warc(spark, pages_path)
@@ -136,9 +139,31 @@ def run_checkpointed(
             pages = pages.where(F.col("warc_day") >= F.lit(str(ts_from)))
         if ts_to is not None:
             pages = pages.where(F.col("warc_day") <= F.lit(str(ts_to)))
+        # the day enumeration below and the extraction write are two
+        # consumers, and each consumer re-runs the whole gunzip+parse
+        # (CLAUDE.md extra-consumer rule) — which for WARC is the run's
+        # dominant cost. Persist for the run (spills to executor disk:
+        # this IS the staging pass the docstring recommends, done
+        # in-flight), release before returning.
+        persisted = pages.persist(StorageLevel.MEMORY_AND_DISK)
+        pages = persisted
     else:
         pages = X.read_pages(spark, pages_path, ts_from, ts_to)
 
+    try:
+        return _run_checkpointed_body(
+            spark, pages, out_root, cfg, t0, salt_partitions, languages,
+            _fail_before_commit,
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+
+
+def _run_checkpointed_body(
+    spark, pages, out_root, cfg, t0, salt_partitions, languages,
+    _fail_before_commit,
+) -> RunSummary:
     # ---- step 1: partition-level anti-join against the commit log ----
     input_days = sorted(
         str(r["warc_day"])
@@ -160,6 +185,9 @@ def run_checkpointed(
         todo, cfg, salt_partitions=salt_partitions, languages=languages,
         day_timer_acc=day_acc,
     )
+    # warc_ts is non-null by schema contract (undated WARC records ride
+    # the epoch sentinel, sources/warc.UNDATED_TS), so warc_day here is
+    # always a real partition value step 1 can enumerate.
     out = wide.withColumn("warc_day", F.date_format("warc_ts", "yyyy-MM-dd"))
     (
         out.write.mode("overwrite")

@@ -82,13 +82,23 @@ def _list_leaf_files(spark: SparkSession, root: str):
     return out
 
 
-def _partition_values(rel: str) -> dict[str, str]:
-    """hive-style dir path 'a=1/b=2' -> {'a': '1', 'b': '2'}."""
-    vals = {}
+#: hive's directory name for a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_values(rel: str) -> dict[str, str | None]:
+    """hive-style dir path 'a=1/b=x%20y' -> {'a': '1', 'b': 'x y'},
+    in DIRECTORY ORDER (dicts preserve insertion order — the layout
+    nesting must survive the rewrite). Percent-escapes are decoded and
+    the hive NULL sentinel maps to None so the join below can be
+    null-safe."""
+    from urllib.parse import unquote
+
+    vals: dict[str, str | None] = {}
     for seg in rel.split("/"):
         if "=" in seg:
             k, v = seg.split("=", 1)
-            vals[k] = v
+            vals[k] = None if v == _HIVE_NULL else unquote(v)
     return vals
 
 
@@ -105,13 +115,24 @@ def plan_compaction(
     for rel, n in files:
         sizes[rel] = sizes.get(rel, 0) + n
         counts[rel] = counts.get(rel, 0) + 1
+    parsed = {rel: _partition_values(rel) for rel in sizes}
+    # partition-column order = DIRECTORY order (year=/month= must not
+    # come back month=/year= after the rewrite); every leaf dir must
+    # agree — a stray data file at another depth/layout would silently
+    # get the wrong k, so refuse loudly instead
+    layouts = {tuple(v) for v in parsed.values()}
+    if len(layouts) > 1:
+        a, b = sorted(layouts, key=len)[:2]
+        raise ValueError(
+            f"inconsistent partition layout under {in_root}: "
+            f"{list(a) or '(root)'} vs {list(b) or '(root)'}"
+        )
+    pcols: list[str] = list(next(iter(layouts))) if layouts else []
     rows = []
-    pcols: list[str] = []
     for rel, b in sorted(sizes.items()):
-        vals = _partition_values(rel)
-        pcols = pcols or sorted(vals)
+        vals = parsed[rel]
         k = max(1, math.ceil(b / target_bytes))
-        rows.append((*[vals[c] for c in sorted(vals)], k))
+        rows.append((*[vals[c] for c in pcols], k))
     layout = CompactionLayout(
         n_partitions=len(sizes),
         n_files_in=sum(counts.values()),
@@ -121,6 +142,23 @@ def plan_compaction(
     schema = ", ".join([f"`{c}` string" for c in pcols] + ["k int"])
     plan = spark.createDataFrame(rows or [(1,)], schema)
     return plan, layout
+
+
+def _with_plan(df: DataFrame, plan: DataFrame, pcols: list[str]):
+    """Broadcast-join the per-partition k table onto the data. The
+    plan carries DIRECTORY strings while the scan reads partition
+    values back TYPED (month=01 dirs become int 1), so the join casts
+    the plan's string to the data column's own type — comparing
+    re-stringified data ('1') to raw dir tokens ('01') would silently
+    miss and collapse the partition to one file. eqNullSafe covers the
+    hive NULL partition."""
+    keys = [
+        df[c].eqNullSafe(plan[c].cast(df.schema[c].dataType))
+        for c in pcols
+    ]
+    return df.join(F.broadcast(plan), keys, "left").drop(
+        *[plan[c] for c in pcols]
+    )
 
 
 def compact(
@@ -148,13 +186,7 @@ def compact(
             out_root
         )
         return layout
-    # partition values read back typed; the plan table carries strings —
-    # cast the join keys, never the data columns
-    joined = df.join(
-        F.broadcast(plan),
-        [df[c].cast("string") == plan[c] for c in pcols],
-        "left",
-    ).drop(*[plan[c] for c in pcols])
+    joined = _with_plan(df, plan, pcols)
     salted = joined.withColumn(
         "_salt",
         F.pmod(F.xxhash64(id_col), F.coalesce(F.col("k"), F.lit(1))),

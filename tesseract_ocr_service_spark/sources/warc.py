@@ -109,10 +109,21 @@ def _http_body(payload: bytes) -> bytes:
     return payload
 
 
+#: timestamp for records whose WARC-Date does not parse. warc_ts is
+#: CONTRACTUALLY non-null (schema.PAGES_SCHEMA/EXTRACTED_SCHEMA — the
+#: partitioning column derives from it), and a NULL warc_day would
+#: fall out of the checkpointed run's `isin(pending)` day filter
+#: (NULL IN (...) is NULL) and be silently lost — so undated records
+#: land on the epoch sentinel and commit/resume under the real
+#: partition warc_day='1970-01-01' like any other day.
+UNDATED_TS = datetime(1970, 1, 1)
+UNDATED_DAY = "1970-01-01"
+
+
 def _warc_ts(date: str):
     """WARC-Date (ISO-8601 Zulu) -> naive UTC datetime (session TZ is
-    pinned UTC); unparseable dates -> None (the row survives, pruning
-    just can't use it)."""
+    pinned UTC); unparseable dates -> the epoch sentinel (the row
+    survives under warc_day=UNDATED_DAY, pruning just can't use it)."""
     try:
         return (
             datetime.fromisoformat(date.replace("Z", "+00:00"))
@@ -120,18 +131,22 @@ def _warc_ts(date: str):
             .replace(tzinfo=None)
         )
     except ValueError:
-        return None
+        return UNDATED_TS
 
 
 def _parse_archives(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for path, content in zip(pdf["path"], pdf["content"]):
             # gzip.GzipFile reads straight through concatenated members
-            # (the per-record-member CC layout and single-member both)
-            try:
-                raw = gzip.GzipFile(fileobj=io.BytesIO(bytes(content))).read()
-            except OSError:
-                continue  # not gzip / corrupt archive: skip whole file
+            # (the per-record-member CC layout and single-member both).
+            # Chunked read + EOFError/zlib salvage: a partially-uploaded
+            # archive truncated INSIDE a gzip member (the common
+            # compression-layer truncation) keeps every fully
+            # decompressed byte instead of failing the task — the WARC
+            # parser below then stops at the last whole record.
+            raw = _gunzip_salvage(bytes(content))
+            if raw is None:
+                continue  # not gzip at all: skip whole file
             rows: list[dict] = []
             for rec in _parse_warc_stream(raw):
                 ts = _warc_ts(rec["date"])
@@ -139,7 +154,7 @@ def _parse_archives(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     {
                         "url": rec["uri"],
                         "warc_ts": ts,
-                        "warc_day": ts.date().isoformat() if ts else None,
+                        "warc_day": ts.date().isoformat(),
                         "html": _http_body(rec["payload"]),
                         "text": None,
                         "lang": None,
@@ -151,6 +166,33 @@ def _parse_archives(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     rows = []
             if rows:
                 yield pd.DataFrame(rows)
+
+
+def _gunzip_salvage(content: bytes):
+    """Decompress concatenated gzip members one decompressobj at a
+    time, keeping every byte that decompressed cleanly when the stream
+    is truncated or corrupt mid-member (a gzip.GzipFile.read() would
+    raise EOFError and surrender the WHOLE buffered read). Returns
+    None only when the payload is not gzip at all."""
+    import zlib
+
+    parts: list[bytes] = []
+    pos, n = 0, len(content)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)  # gzip-wrapped deflate
+        try:
+            parts.append(d.decompress(content[pos:]))
+        except zlib.error:
+            break  # corrupt member/junk tail: keep prior members
+        if not d.eof:
+            break  # truncated member: its clean prefix is kept
+        consumed = (n - pos) - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    if not any(parts):
+        return None
+    return b"".join(parts)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:

@@ -124,3 +124,58 @@ def test_compact_job_cli(spark, fragmented, tmp_path, capsys):
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["n_partitions"] == 3
     assert spark.read.parquet(out).count() == 4800
+
+
+def test_compact_typed_partition_values_match(spark, tmp_path):
+    """Externally-written zero-padded dirs (month=01) are read back by
+    Spark's partition inference as int 1 — the plan join must cast the
+    directory string to the data column's type, or every row misses
+    the join and the partition silently collapses to one file."""
+    root = str(tmp_path / "padded")
+    spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "01").otherwise("02").alias("month"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).repartition(6).write.partitionBy("month").parquet(root)
+    df = spark.read.parquet(root)
+    assert dict(df.dtypes)["month"] in ("int", "bigint")  # inference
+    plan, _ = C.plan_compaction(spark, root, target_bytes=4096)
+    joined = C._with_plan(df, plan, ["month"])
+    assert joined.where(F.col("k").isNull()).count() == 0
+    out = str(tmp_path / "padded_out")
+    C.compact(spark, root, out, id_col="doc_id", target_bytes=4096)
+    for m in ("1", "2"):
+        files = _data_files(os.path.join(out, f"month={m}"))
+        assert len(files) > 1, (m, files)
+
+
+def test_compact_preserves_multilevel_dir_order(spark, tmp_path):
+    """year=/month= nesting must come back year=/month=, not
+    alphabetical month=/year= — path-based consumers of the swapped-in
+    root depend on the original partition-spec order."""
+    root = str(tmp_path / "multi")
+    spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("2026").alias("year"),
+        (F.col("id") % 2).cast("string").alias("month"),
+    ).repartition(4).write.partitionBy("year", "month").parquet(root)
+    out = str(tmp_path / "multi_out")
+    C.compact(spark, root, out, id_col="doc_id", target_bytes=1 << 40)
+    assert os.path.isdir(os.path.join(out, "year=2026", "month=0"))
+    assert not os.path.isdir(os.path.join(out, "month=0"))
+
+
+def test_plan_compaction_rejects_mixed_depth(spark, tmp_path):
+    """A stray data file at a different partition depth fails loudly
+    instead of silently getting the wrong k."""
+    root = str(tmp_path / "mixed")
+    spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("string").alias("day"),
+    ).write.partitionBy("day").parquet(root)
+    # stray unpartitioned file at the root
+    spark.range(0, 5).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.mode("append").parquet(root)
+    with pytest.raises(ValueError, match="inconsistent partition layout"):
+        C.plan_compaction(spark, root, target_bytes=1 << 30)

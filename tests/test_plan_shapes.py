@@ -285,9 +285,5 @@ def test_compaction_plan_table_join_is_broadcast(spark, tmp_path):
     plan_df, layout = C.plan_compaction(spark, root, target_bytes=1 << 30)
     df = spark.read.parquet(root)
     pcols = [c for c in plan_df.columns if c != "k"]
-    joined = df.join(
-        F.broadcast(plan_df),
-        [df[c].cast("string") == plan_df[c] for c in pcols],
-        "left",
-    )
-    assert "BroadcastHashJoin" in _plan(joined)
+    # the PRODUCTION join path, not a test-local reconstruction
+    assert "BroadcastHashJoin" in _plan(C._with_plan(df, plan_df, pcols))

@@ -150,3 +150,60 @@ def test_checkpointed_run_over_warc(spark, tmp_path):
     ]
     got = Cm.read_extracted(spark, out)
     assert got.count() == 20
+
+
+def test_gzip_member_truncation_salvages_whole_records(spark, tmp_path):
+    """Truncation at the COMPRESSION layer (partial upload): bytes cut
+    mid-gzip-member must keep every record that decompressed cleanly
+    instead of failing the task (EOFError is not an OSError)."""
+    recs = _records(8)
+    p = str(tmp_path / "full.warc.gz")
+    W.write_warc(p, recs, per_record_gzip=True)
+    raw = open(p, "rb").read()
+    cut = str(tmp_path / "cut.warc.gz")
+    open(cut, "wb").write(raw[: len(raw) - 25])  # into the last member
+    got = W.read_warc(spark, cut).collect()
+    assert len(got) == 7
+    by_url = {r["url"]: bytes(r["html"]) for r in got}
+    for url, _ts, body in recs[:7]:
+        assert by_url[url] == body
+
+
+def test_undated_records_survive_and_commit(spark, tmp_path):
+    """A record with an unparseable WARC-Date lands on the epoch
+    sentinel (warc_ts is non-null by schema contract; a NULL warc_day
+    would fall out of NULL IN (pending) and be silently lost) and
+    commits/resumes like any other day."""
+    import gzip as _gz
+    from datetime import datetime
+
+    from tesseract_ocr_service_spark.config import ExtractConfig
+    from tesseract_ocr_service_spark.plans import commit as Cm
+
+    body = b"<html><body><p>" + b"alpha beta gamma delta " * 8 + b"</p></body></html>"
+    rec_ok = W._warc_record(
+        "https://ex.com/ok", datetime(2026, 1, 3), body
+    )
+    rec_bad = W._warc_record(
+        "https://ex.com/bad", datetime(2026, 1, 3), body
+    ).replace(b"WARC-Date: 2026-01-03T00:00:00Z", b"WARC-Date: not-a-date")
+    arch = tmp_path / "arch"
+    arch.mkdir()
+    with _gz.open(str(arch / "d.warc.gz"), "wb") as f:
+        f.write(rec_ok + rec_bad)
+    rows = {r["url"]: r for r in W.read_warc(spark, str(arch)).collect()}
+    assert rows["https://ex.com/bad"]["warc_day"] == W.UNDATED_DAY
+    assert rows["https://ex.com/bad"]["warc_ts"] == W.UNDATED_TS
+
+    out = str(tmp_path / "out")
+    s1 = Cm.run_checkpointed(
+        spark, str(arch), out, ExtractConfig(), source_format="warc"
+    )
+    assert sorted(s1.pending_days) == [W.UNDATED_DAY, "2026-01-03"]
+    assert s1.n_docs == 2
+    ext = Cm.read_extracted(spark, out)
+    assert ext.where(f"warc_day = '{W.UNDATED_DAY}'").count() == 1
+    s2 = Cm.run_checkpointed(
+        spark, str(arch), out, ExtractConfig(), source_format="warc"
+    )
+    assert s2.pending_days == []
