@@ -386,6 +386,47 @@ def sf1_section(spark) -> dict:
                 "wall": w,
                 "pairs": npairs,
             }
+        # --- linear text-curation ops (round 4): the full Gopher gate
+        # and host-scoped line dedup are single-scan/one-window shapes,
+        # so per-decade wall growth should track N (~10x), not N^2.
+        # Host fan-out ~100 docs/host mirrors a site-skewed crawl;
+        # sep='.' gives multi-segment docs (the synthetic text has no
+        # newlines).
+        from tesseract_ocr_service_spark.functions import textstats as TX
+
+        w, nkeep = _timed(
+            lambda: docs.where(TX.gopher_keep(F.col("text")))
+        )
+        # kept=0 is EXPECTED on this corpus (docs are < 50 words with
+        # < 2 distinct stopwords by construction — both hard Gopher
+        # rejects); the measurement is the one-pass scan wall, and the
+        # reason histogram proves the gate classifies, not shortcuts.
+        reasons = {
+            r["reason"]: r["count"]
+            for r in docs.groupBy(
+                TX.gopher_reason(
+                    TX.gopher_signals(F.col("text"))
+                ).alias("reason")
+            )
+            .count()
+            .collect()
+        }
+        sec["gopher_filter"] = {"wall": w, "kept": nkeep, "reasons": reasons}
+        hosts = docs.withColumn(
+            "host",
+            F.concat(
+                F.lit("h"),
+                (F.col("doc_id") % F.lit(max(1, n // 100))).cast("string"),
+            ),
+        )
+        w, nrows = _timed(
+            lambda: D.dedup_paragraphs(
+                hosts, "doc_id", "text", sep=".", min_df=2,
+                scope_col="host",
+            )
+        )
+        sec["host_line_dedup"] = {"wall": w, "rows": nrows}
+
         # --- SemDeDup: codebook sized so clusters stay ~256 vectors
         # (cluster size IS the pair cap, so K scales with N and
         # cand_pairs_per_vec should hold ~flat); assignment via the
@@ -472,6 +513,8 @@ def sf1_section(spark) -> dict:
         ("neardup_components", "wall"),
         ("simhash", "wall_pairs"),
         ("simhash_multi_index", "wall_pairs"),
+        ("gopher_filter", "wall"),
+        ("host_line_dedup", "wall"),
         ("embedding_lsh_p8", "wall"),
         ("semantic_dedup", "wall"),
         ("dsir", "wall"),
