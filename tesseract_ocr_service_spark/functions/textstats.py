@@ -168,7 +168,13 @@ def gopher_signals(col: Column) -> dict[str, Column]:
     ratio rules are INTEGER comparisons (no float crosses the engine
     boundary; CLAUDE.md cross-engine rule). All JVM-side; the only
     higher-order exprs are the per-word filters (bounded by doc token
-    count, same shape as quality_features)."""
+    count, same shape as quality_features).
+
+    NULL text counts as empty (word_count reject), like every sibling
+    op that coalesces text to '' — without this, every comparison in
+    the reason chain is NULL and ``gopher_keep`` (reason IS NULL)
+    would PASS null-text rows the c4 gate drops."""
+    col = F.coalesce(col, F.lit(""))
     toks = tokens(col)
     return {
         # words + their total character mass (mean length = chars/words)

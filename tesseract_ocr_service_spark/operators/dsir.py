@@ -189,11 +189,15 @@ def dsir_importance(
     thr = scores.agg(
         F.expr(f"percentile(score_micro, {1.0 - keep_frac})").alias("t")
     ).first()["t"]
+    # percentile is NULL only for an EMPTY corpus (score_micro is
+    # coalesced); any threshold selects nothing from nothing — return
+    # the empty frame with the right schema instead of float(None).
     return scores.select(
         F.col("id").alias(id_col),
         "is_target",
         "score_micro",
-        (F.col("score_micro") >= F.lit(float(thr))).cast("int").alias("keep"),
+        (F.col("score_micro") >= F.lit(float(thr or 0.0)))
+        .cast("int").alias("keep"),
     )
 
 
@@ -308,12 +312,15 @@ def perplexity_filter(
     thr = scores.agg(
         F.expr(f"percentile(mean_micro, {1.0 - keep_frac})").alias("t")
     ).first()["t"]
+    # NULL percentile == empty corpus (mean_micro is coalesced): keep
+    # the empty-frame contract rather than crashing on float(None).
     return scores.select(
         F.col("id").alias(id_col),
         "logprob_micro",
         "n_bigrams",
         "mean_micro",
-        (F.col("mean_micro") >= F.lit(float(thr))).cast("int").alias("keep"),
+        (F.col("mean_micro") >= F.lit(float(thr or 0.0)))
+        .cast("int").alias("keep"),
     )
 
 

@@ -134,11 +134,17 @@ def dedup_incremental(
         )
     # the exact-survivor signatures feed the banding, the verify join
     # AND the returned increment — persist once (no ReusedExchange
-    # under AQE; same discipline as dedup_corpus). The cache lives
-    # until the caller is done with BOTH returned frames — unpersist
-    # the returned sig_increment after appending it to the store.
-    # persist=False skips the cache for tiny/oracle corpora where
-    # recomputation is cheaper than cache-block bookkeeping.
+    # under AQE; same discipline as dedup_corpus). Project to
+    # STORE_COLUMNS BEFORE persisting so the returned sig_increment IS
+    # the cached plan: CacheManager only uncaches exact sameResult
+    # plans, so unpersisting a projection OVER the cache would be a
+    # silent no-op and the MEMORY_AND_DISK blocks would outlive the
+    # daily job. The cache lives until the caller is done with BOTH
+    # returned frames — unpersist the returned sig_increment after
+    # appending it to the store. persist=False skips the cache for
+    # tiny/oracle corpora where recomputation is cheaper than
+    # cache-block bookkeeping.
+    ex = ex.select(*STORE_COLUMNS)
     if persist:
         ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -211,7 +217,7 @@ def dedup_incremental(
     ).join(
         losers, new_docs[id_col] == losers["_loser"], "left_anti"
     )
-    return kept, ex.select(*STORE_COLUMNS)
+    return kept, ex
 
 
 def append_signatures(sig_increment: DataFrame, store_path: str) -> None:

@@ -351,8 +351,14 @@ def assign_codebook_batched(
                 }
             )
 
+    # id type comes from the input schema: the expr path this function
+    # is interchangeable with preserves any id type, so a hardcoded
+    # bigint would silently change the contract when 'auto' switches
+    # implementations at K>32 (and crash Arrow for string ids).
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        batches, schema="id long, v array<double>, list_id int, nrm double"
+        batches,
+        schema=f"id {id_ddl}, v array<double>, list_id int, nrm double",
     )
 
 
@@ -603,8 +609,12 @@ def lsh_buckets_batched(
                 }
             )
 
+    # same id-type passthrough as assign_codebook_batched: this path is
+    # documented bit-identical to the expr banding, which accepts any
+    # id type.
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        run, schema="id long, band int, bucket long"
+        run, schema=f"id {id_ddl}, band int, bucket long"
     )
 
 
@@ -639,6 +649,13 @@ def embedding_neardup_pairs(
     per-(band, bucket) membership (dedup.cap_buckets — a corpus of
     near-identical vectors otherwise makes one bucket quadratic
     regardless of H); None disables, ``log_drops`` reports the drop.
+    NOTE the cap drops EVERY candidate of an over-cap (band, bucket)
+    group, not the excess — and the default tightened 5000 -> 500 in
+    round 4 (the collect_list pair fan-out is only safe for buckets of
+    a few hundred): callers whose corpora form 500-5000-member buckets
+    must either raise ``max_bucket`` (> 1024 switches to the streaming
+    self-join shape automatically) or re-size ``n_planes`` so buckets
+    shrink; watch ``log_drops`` telemetry for silent recall loss.
     ``n_planes='auto'`` sizes the bucket space from one corpus count
     via :func:`auto_n_planes` (costs a driver count() action).
     ``banding``: 'expr' = JVM expression banding (the oracle path);

@@ -125,11 +125,14 @@ def _warc_ts(date: str):
     pinned UTC); unparseable dates -> the epoch sentinel (the row
     survives under warc_day=UNDATED_DAY, pruning just can't use it)."""
     try:
-        return (
-            datetime.fromisoformat(date.replace("Z", "+00:00"))
-            .astimezone(timezone.utc)
-            .replace(tzinfo=None)
-        )
+        dt = datetime.fromisoformat(date.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            # offset-less WARC-Date (tolerated by fromisoformat): treat
+            # as UTC — astimezone on a NAIVE datetime would convert
+            # from the executor's OS timezone, shifting warc_day (and
+            # the partition the record lands in) per machine.
+            dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc).replace(tzinfo=None)
     except ValueError:
         return UNDATED_TS
 
@@ -170,23 +173,36 @@ def _parse_archives(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 def _gunzip_salvage(content: bytes):
     """Decompress concatenated gzip members one decompressobj at a
-    time, keeping every byte that decompressed cleanly when the stream
-    is truncated or corrupt mid-member (a gzip.GzipFile.read() would
-    raise EOFError and surrender the WHOLE buffered read). Returns
-    None only when the payload is not gzip at all."""
+    time, feeding bounded chunks so a member truncated or corrupt
+    MIDWAY still yields its inflated prefix (a gzip.GzipFile.read()
+    would raise EOFError and surrender the WHOLE buffered read; a
+    single whole-buffer decompress raises before returning anything).
+    Bytes decoded between a corruption point and zlib's error
+    detection can be garbage — inherent to deflate — but WARC
+    Content-Length framing confines them to single records and the
+    parser stops at the first unframeable header. Returns None only
+    when the payload is not gzip at all."""
     import zlib
 
     parts: list[bytes] = []
     pos, n = 0, len(content)
+    chunk = 1 << 16  # salvage granularity: prefix kept per 64 KiB fed
     while pos < n:
         d = zlib.decompressobj(wbits=31)  # gzip-wrapped deflate
-        try:
-            parts.append(d.decompress(content[pos:]))
-        except zlib.error:
-            break  # corrupt member/junk tail: keep prior members
-        if not d.eof:
+        # feed in bounded chunks so a member corrupt MIDWAY still
+        # yields its clean prefix (one whole-buffer decompress call
+        # raises before returning anything inflated so far)
+        p, corrupt = pos, False
+        while p < n and not d.eof:
+            try:
+                parts.append(d.decompress(content[p:p + chunk]))
+            except zlib.error:
+                corrupt = True
+                break  # corrupt member/junk tail: prefix already kept
+            p += chunk
+        if corrupt or not d.eof:
             break  # truncated member: its clean prefix is kept
-        consumed = (n - pos) - len(d.unused_data)
+        consumed = (min(p, n) - pos) - len(d.unused_data)
         if consumed <= 0:
             break
         pos += consumed

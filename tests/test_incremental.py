@@ -190,3 +190,17 @@ def test_dedup_daily_job_cli(spark, tmp_path, capsys):
         for r in spark.read.parquet(o).select("doc_id").collect()
     )
     assert got == _ids(D.dedup_corpus(docs))
+
+
+def test_sig_increment_unpersist_releases_cache(spark, halves):
+    """The returned sig_increment must BE the persisted plan, not a
+    projection over it: CacheManager only uncaches exact sameResult
+    plans, so unpersisting a projection is a silent no-op and the
+    MEMORY_AND_DISK signature blocks would outlive every daily run in
+    a long-lived session (jobs/dedup_daily.py calls inc.unpersist())."""
+    _, d1, _ = halves
+    kept, inc = I.dedup_incremental(d1, persist=True)
+    kept.count()
+    assert inc.storageLevel.useMemory or inc.storageLevel.useDisk
+    inc.unpersist(blocking=True)
+    assert not (inc.storageLevel.useMemory or inc.storageLevel.useDisk)

@@ -913,3 +913,63 @@ def test_gopher_rules_property(spark):
             assert got[i] == _gopher_reason_py(t), (repr(t), got[i])
 
     check()
+
+
+def test_gopher_null_text_rejected(spark):
+    """NULL text must fail the gate like empty text (word_count):
+    without the coalesce, every rule comparison is NULL, the reason
+    chain yields NULL, and gopher_keep (reason IS NULL) would PASS
+    null-text rows the c4 gate drops."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    got = df.select(
+        T.gopher_reason(T.gopher_signals(F.col("text"))).alias("r"),
+        T.gopher_keep(F.col("text")).alias("k"),
+    ).collect()
+    assert [(r["r"], r["k"]) for r in got] == [
+        ("word_count", False),
+        ("word_count", False),
+    ]
+
+
+def test_dsir_and_perplexity_empty_corpus(spark):
+    """An empty corpus (e.g. a quality gate that dropped everything)
+    must come back as an empty keep-frame with the right schema, not a
+    float(None) TypeError from the NULL percentile threshold — the
+    build_corpus funnel check raises ITS error after the stages run."""
+    from tesseract_ocr_service_spark.operators import dsir as DS
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = DS.dsir_importance(empty, target=F.col("doc_id") % 2 == 0)
+    assert out.count() == 0
+    assert "keep" in out.columns
+    out2 = DS.perplexity_filter(empty)
+    assert out2.count() == 0
+    assert "keep" in out2.columns
+
+
+def test_batched_similarity_paths_preserve_id_type(spark):
+    """The batched (mapInPandas) codebook-assign and LSH-banding paths
+    must inherit the id column's type from the input: they are
+    documented interchangeable with the expr paths, which preserve any
+    id type — a hardcoded bigint would crash Arrow for string ids the
+    moment assign='auto' switches implementations at K>32."""
+    rows = [(f"doc-{i}", [float(i), 1.0, 0.0, 1.0]) for i in range(6)]
+    embs = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 1.0]]
+    got = S.assign_codebook_batched(embs, cents)
+    assert dict(got.dtypes)["id"] == "string"
+    assert got.count() == 6
+    planes = S.hyperplane_signs(8, 4, 7)
+    banded = S.lsh_buckets_batched(
+        embs.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+        ),
+        planes,
+        bands=2,
+    )
+    assert dict(banded.dtypes)["id"] == "string"
+    assert banded.count() == 12

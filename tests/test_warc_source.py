@@ -207,3 +207,52 @@ def test_undated_records_survive_and_commit(spark, tmp_path):
         spark, str(arch), out, ExtractConfig(), source_format="warc"
     )
     assert s2.pending_days == []
+
+
+def test_offsetless_warc_date_reads_as_utc():
+    """A WARC-Date WITHOUT a zone offset (tolerated by fromisoformat)
+    must be treated as UTC: astimezone on a naive datetime converts
+    from the executor's OS timezone, which would shift warc_day — and
+    the partition the record commits under — per machine."""
+    import os
+    import time as _time
+
+    prev = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        assert W._warc_ts("2026-01-02T00:30:00") == datetime(
+            2026, 1, 2, 0, 30
+        )
+        # explicit offsets still convert to UTC
+        assert W._warc_ts("2026-01-02T02:30:00+02:00") == datetime(
+            2026, 1, 2, 0, 30
+        )
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        _time.tzset()
+
+
+def test_corrupt_member_midway_keeps_clean_prefix():
+    """A byte flipped MIDWAY through a large gzip member salvages the
+    member's already-inflated prefix (chunked feed), where one
+    whole-buffer decompress call would raise before returning any of
+    it. Bytes between the flip and zlib's error detection may be
+    garbage (inherent to deflate) — the assertion pins the
+    fed-before-the-flip prefix, measured once and stable for this
+    seeded fixture."""
+    import gzip as _gz
+    import random
+
+    random.seed(3)
+    words = [f"w{i}" for i in range(500)]
+    data = (" ".join(random.choices(words, k=300000))).encode()
+    blob = bytearray(_gz.compress(data))
+    blob[len(blob) // 2] ^= 0xFF
+    out = W._gunzip_salvage(bytes(blob))
+    assert out is not None
+    assert len(out) < len(data)  # corruption detected, stream cut
+    assert out[:700000] == data[:700000]  # clean prefix survives
