@@ -72,11 +72,39 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+#: Driver-correctness window rotation: the driver checks only the FIRST
+#: 50 entries of queries() (dict order). These names go first this round
+#: — every query left unchecked in CORRECTNESS_r04 plus the new round-5
+#: ones — so the union of r04 ∪ r05 driver rows covers ALL queries.
+#: Rotate next round: move the freshly-verified block to the end.
+_CHECK_FIRST = [
+    # new this round
+    "corpus_funnel",
+    # 12 relational queries green in r03 but outside r04's 50-window
+    "pricing_summary",
+    "top_customers_by_region",
+    "json_export",
+    "top_tokens",
+    "lang_token_stats",
+    "sessionize",
+    "asof_last_error",
+    "range_join_purchases_near_errors",
+    "daily_event_pivot",
+    "value_percentiles",
+    "domain_quota_sample",
+    "train_val_test_split",
+    # never driver-checked before round 5
+    "lang_temperature_sample",
+    "pack_sequences",
+    "value_percentiles_approx",  # rows-only exemption (approx values)
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from tesseract_ocr_service_spark.operators import queries as Q
     from tesseract_ocr_service_spark.operators import relational as R
 
-    return {
+    all_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         **Q.SPARK_QUERIES,
         "extract_canonical_text": _q_extract,
         "line_dedup_canonical": _q_line_dedup,
@@ -107,6 +135,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_temperature_sample": R.lang_temperature_sample,
         "pack_sequences": R.pack_sequences,
     }
+    ordered = {k: all_q[k] for k in _CHECK_FIRST if k in all_q}
+    ordered.update(all_q)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
