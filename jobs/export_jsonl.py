@@ -85,7 +85,13 @@ def export(spark, args) -> dict:
     )
     writer = (
         staged.repartition(args.shards, F.col("shard"))
-        .sortWithinPartitions(id_c)
+        # sort by BOTH keys: shards hash-collide into shared shuffle
+        # partitions and partitionBy('shard') makes the file writer
+        # inject its own sort-by-shard when the data isn't already
+        # sorted by it — whether that injected sort keeps the id order
+        # within each shard is non-contractual. Satisfying the writer's
+        # required ordering here makes within-shard id order guaranteed.
+        .sortWithinPartitions("shard", id_c)
         .drop("_n_tok")
         .write.mode("overwrite")
         .partitionBy("shard")

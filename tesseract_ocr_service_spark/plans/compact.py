@@ -44,10 +44,44 @@ store operators at lake scale).
 from __future__ import annotations
 
 import math
+import posixpath
 from dataclasses import dataclass
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _root_key(p: str) -> tuple[str, str]:
+    """(scheme+authority, normalized path) for nesting comparison.
+    Relative local paths normalize the same way on both sides, so
+    equality/prefix checks stay meaningful without touching the FS."""
+    u = urlparse(p)
+    path = u.path if u.scheme else p
+    return (
+        f"{u.scheme}://{u.netloc}" if u.scheme else "",
+        posixpath.normpath(path).rstrip("/"),
+    )
+
+
+def _check_disjoint_roots(in_root: str, out_root: str) -> None:
+    """compact() writes out_root with mode('overwrite') and must never
+    destroy the only copy: refuse when out_root equals, contains, or is
+    nested under in_root. Spark's read-path overwrite check does not
+    reliably catch a NESTED out_root (the scan lists in_root before the
+    write, then the overwrite both corrupts the source and poisons the
+    next listing)."""
+    (s_in, p_in), (s_out, p_out) = _root_key(in_root), _root_key(out_root)
+    if s_in != s_out:
+        return
+    if p_in == p_out or p_out.startswith(p_in + "/") or p_in.startswith(
+        p_out + "/"
+    ):
+        raise ValueError(
+            f"compaction out_root {out_root!r} overlaps in_root "
+            f"{in_root!r}: the overwrite would destroy the only copy. "
+            "Write to a disjoint root and swap atomically."
+        )
 
 
 @dataclass(frozen=True)
@@ -74,10 +108,17 @@ def _list_leaf_files(spark: SparkSession, root: str):
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        name = p.getName()
-        if name.startswith("_") or name.startswith("."):
+        # skip hidden/marker SEGMENTS anywhere in the relative path,
+        # not just the file name: leftovers from a crashed write (e.g.
+        # _temporary/.../day=X/part-*.parquet) live under a hidden
+        # DIRECTORY with a plain file name — counting them would
+        # inflate bytes_in/k or raise a spurious layout ValueError for
+        # data spark.read.parquet will never scan.
+        relfile = p.toUri().getPath()[len(base):].strip("/")
+        segs = relfile.split("/")
+        if any(s.startswith("_") or s.startswith(".") for s in segs):
             continue  # markers / hidden metadata, not data
-        rel = p.getParent().toUri().getPath()[len(base):].strip("/")
+        rel = "/".join(segs[:-1])
         out.append((rel, int(st.getLen())))
     return out
 
@@ -173,6 +214,7 @@ def compact(
     per partition, preserving the hive partition layout. ``sort_within``
     orders rows inside each output file (clustering for downstream
     range scans + better column encodings)."""
+    _check_disjoint_roots(in_root, out_root)
     plan, layout = plan_compaction(spark, in_root, target_bytes)
     df = spark.read.parquet(in_root)
     pcols = [c for c in plan.columns if c != "k"]

@@ -179,3 +179,37 @@ def test_plan_compaction_rejects_mixed_depth(spark, tmp_path):
     ).write.mode("append").parquet(root)
     with pytest.raises(ValueError, match="inconsistent partition layout"):
         C.plan_compaction(spark, root, target_bytes=1 << 30)
+
+
+def test_compact_refuses_overlapping_roots(spark, fragmented, tmp_path):
+    """mode('overwrite') must never destroy the only copy: equal or
+    nested in/out roots are rejected BEFORE any write (Spark's own
+    read-path check does not reliably catch a nested out_root)."""
+    for bad_out in (
+        fragmented,
+        os.path.join(fragmented, "tidy"),   # nested under input
+        os.path.join(fragmented, "..", os.path.basename(fragmented)),
+    ):
+        with pytest.raises(ValueError, match="overlaps in_root"):
+            C.compact(spark, fragmented, bad_out, id_col="doc_id")
+    # input nested under OUTPUT is just as destructive
+    with pytest.raises(ValueError, match="overlaps in_root"):
+        C.compact(
+            spark, fragmented, str(tmp_path), id_col="doc_id"
+        )
+    assert len(_data_files(fragmented)) > 3  # source untouched
+
+
+def test_plan_ignores_hidden_directories(spark, fragmented):
+    """Leftovers from a crashed write (_temporary/.../part-*.parquet)
+    sit under a HIDDEN directory with plain file names; they must not
+    count as data (spark.read.parquet never scans them) — before this
+    check they inflated bytes_in or raised a spurious mixed-layout
+    error."""
+    junk = os.path.join(fragmented, "_temporary", "0", "task_1")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0001.parquet"), "wb") as f:
+        f.write(b"not parquet" * 1000)
+    _, layout = C.plan_compaction(spark, fragmented, target_bytes=1 << 40)
+    assert layout.n_partitions == 3
+    assert layout.n_files_target == 3
