@@ -369,6 +369,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "auto",
+    max_cluster: int | None = 10_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     at web-scale through semantic deduplication", arXiv:2303.09540):
@@ -398,8 +399,17 @@ def semantic_dedup(
     (assign_codebook_batched — the large-K path); 'auto' switches to
     batched above K=32, where expression-plan growth starts to beat
     the Python-stage overhead.
+
+    ``max_cluster`` is the degenerate-codebook guard, uniform with
+    every other pair enumerator here (``dedup.cap_buckets``): K sizing
+    is the paper's control knob, but one collapsed/degenerate centroid
+    (e.g. a near-constant embedding column) re-creates the m^2 blowup
+    the cap discipline exists to prevent. Clusters over the cap are
+    excluded from PAIR ENUMERATION only — their members still appear
+    in the output with keep=1 (visible via
+    ``semantic_dedup_cap_stats``; no silent row loss). None disables.
     """
-    from .dedup import _truncate_lineage
+    from .dedup import _truncate_lineage, cap_buckets
 
     if assign not in ("auto", "expr", "batched"):
         raise ValueError(f"unknown assign mode {assign!r}")
@@ -416,7 +426,14 @@ def semantic_dedup(
             norm(v).alias("nrm"),
         )
     assigned = _truncate_lineage(raw)
-    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = (
+        assigned
+        if max_cluster is None
+        else cap_buckets(
+            assigned, ["list_id"], max_cluster, "semantic_dedup"
+        )
+    )
+    a, b = cand.alias("a"), cand.alias("b")
     dropped = (
         a.join(
             b,
@@ -447,6 +464,31 @@ def semantic_dedup(
             "list_id",
             F.when(F.col("_drop").isNull(), 1).otherwise(0).alias("keep"),
         )
+    )
+
+
+def semantic_dedup_cap_stats(
+    df: DataFrame,
+    centroids: list[list[float]],
+    max_cluster: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> dict[str, int]:
+    """Cluster-cap telemetry for ``semantic_dedup``: the standard
+    {n_buckets, n_capped_buckets, n_dropped_rows, max_bucket} dict over
+    the codebook assignment (``dedup.bucket_cap_stats`` shape — bench
+    and operators report caps, never apply them silently)."""
+    from .dedup import bucket_cap_stats
+
+    if assign == "auto":
+        assign = "batched" if len(centroids) > 32 else "expr"
+    if assign == "batched":
+        assigned = assign_codebook_batched(df, centroids, id_col, vec_col)
+    else:
+        assigned = df.select(ivf_assign(vec_col, centroids).alias("list_id"))
+    return bucket_cap_stats(
+        assigned.select("list_id"), ["list_id"], max_cluster
     )
 
 

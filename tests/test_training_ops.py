@@ -512,6 +512,31 @@ def test_semantic_dedup_semdedup_rule(spark):
     assert out[4] == (1, 1) and out[5] == (1, 0) and out[6] == (1, 0)
 
 
+def test_semantic_dedup_degenerate_codebook_capped(spark):
+    """A collapsed codebook (near-constant embedding column -> every
+    vector in ONE cluster) must not go m^2: with max_cluster below the
+    cluster size the overfull cluster is excluded from pair
+    enumeration — zero candidates — while every member still comes back
+    keep=1 (no silent row loss). Uncapped, the same input drops all but
+    the lowest id; the cap-stats telemetry exposes the difference."""
+    n = 40
+    rows = [(i, [1.0, 1e-6 * i]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+
+    capped = S.semantic_dedup(df, cents, 0.95, max_cluster=10).collect()
+    assert len(capped) == n
+    assert all(r["keep"] == 1 for r in capped)
+
+    uncapped = S.semantic_dedup(df, cents, 0.95, max_cluster=None).collect()
+    assert sum(r["keep"] for r in uncapped) == 1  # genuine m^2 shape
+
+    stats = S.semantic_dedup_cap_stats(df, cents, max_cluster=10)
+    assert stats["n_capped_buckets"] == 1
+    assert stats["n_dropped_rows"] == n
+    assert stats["max_bucket"] == n
+
+
 def test_canonical_url_rules(spark):
     """Case/port/www/fragment/tracking variants collapse to one key;
     real query params and non-default ports survive."""
