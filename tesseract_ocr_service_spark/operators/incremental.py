@@ -87,6 +87,7 @@ def dedup_incremental(
     max_bucket: int | None = 5000,
     broadcast_new: bool = True,
     persist: bool = True,
+    check_monotone: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup ``new_docs`` against the historical ``store_sigs``
     ((id, fingerprint, sig); None/empty = first increment, equivalent
@@ -107,7 +108,13 @@ def dedup_incremental(
     PRECONDITION: ids in ``new_docs`` must sort AFTER every stored id
     (monotone ingest keys). The cross-pair drop rule always drops the
     new side; with non-monotone ids that diverges from the one-shot
-    pipeline (which drops the larger id).
+    pipeline (which drops the larger id). ``check_monotone`` ENFORCES
+    this (default): a violated precondition raises instead of silently
+    diverging. The guard is two tiny single-column aggregates
+    (max stored id vs min increment id — parquet column stats make the
+    store side cheap); ``check_monotone=False`` skips them when the
+    caller guarantees monotone keys structurally (e.g. day-prefixed
+    ids minted by the ingest job itself).
 
     ``max_bucket`` caps BOTH near-phase candidate paths (intra-new via
     minhash_dedup_pairs, store-x-new via a hot-key drop); in over-cap
@@ -116,6 +123,20 @@ def dedup_incremental(
     degenerate corpora first, which this function's exact phase does.
     """
     from pyspark.storagelevel import StorageLevel
+
+    if check_monotone and store_sigs is not None:
+        hi = store_sigs.agg(F.max("id")).first()[0]
+        lo = new_docs.agg(F.min(id_col)).first()[0]
+        if hi is not None and lo is not None and not lo > hi:
+            raise ValueError(
+                f"non-monotone increment ids: min new id {lo!r} does "
+                f"not sort after max stored id {hi!r}. The cross-pair "
+                "rule drops the NEW side, which only matches the "
+                "one-shot pipeline (drop the larger id) under monotone "
+                "ingest keys — mint ids that sort after history (e.g. "
+                "day-prefixed), or pass check_monotone=False only if "
+                "divergence is acceptable."
+            )
 
     sigtab = signature_table(new_docs, id_col, text_col, k, n)
 

@@ -121,6 +121,30 @@ def test_cross_day_near_dup_is_dropped(spark):
     assert _ids(k2) == [12]
 
 
+def test_non_monotone_increment_ids_raise(spark):
+    """A violated monotone-id precondition RAISES instead of silently
+    diverging from the one-shot keep/drop (the cross-pair rule always
+    drops the new side, which only equals 'drop the larger id' when
+    new ids sort after every stored id). check_monotone=False keeps
+    the old caller-guaranteed behavior."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    d1 = spark.createDataFrame(
+        [(10, base), (11, base + " nu")], ["doc_id", "text"]
+    )
+    d2 = spark.createDataFrame(
+        [(3, base + " xi"), (12, "other words entirely here")],
+        ["doc_id", "text"],
+    )
+    _, s1 = I.dedup_incremental(d1, persist=False)
+    with pytest.raises(ValueError, match="non-monotone increment ids"):
+        I.dedup_incremental(d2, s1, persist=False)
+    # explicit opt-out still runs (documented divergence risk)
+    k2, _ = I.dedup_incremental(
+        d2, s1, persist=False, check_monotone=False
+    )
+    assert len(_ids(k2)) >= 1
+
+
 def test_incremental_empty_new_day(spark, halves):
     """A day with zero rows keeps nothing, drops nothing, appends an
     empty signature increment — the pipeline must not crash on a quiet
