@@ -1610,6 +1610,243 @@ def _sql_gopher_filter() -> str:
     """
 
 
+#: corpus_funnel quality floor: the C4-ish minimum word count. The
+#: published Gopher floor (50) plus the 2-stopword rule would gate this
+#: synthetic vocabulary-sample corpus to ZERO rows (no doc has 2
+#: distinct Gopher stopwords) — a degenerate funnel proves nothing —
+#: so the funnel keeps every OTHER Gopher rule at published thresholds
+#: and documents the two deltas here.
+FUNNEL_MIN_WORDS = 20
+
+
+def _funnel_reason(s: dict) -> F.Column:
+    """Gopher reason chain at funnel thresholds: word floor at
+    FUNNEL_MIN_WORDS, stopword rule omitted (see FUNNEL_MIN_WORDS
+    note); every other rule identical to textstats.gopher_reason."""
+    return (
+        F.when(
+            (s["n_words"] < FUNNEL_MIN_WORDS)
+            | (s["n_words"] > 100000),
+            F.lit("word_count"),
+        )
+        .when(
+            (s["n_word_chars"] < 3 * s["n_words"])
+            | (s["n_word_chars"] > 10 * s["n_words"]),
+            F.lit("mean_word_len"),
+        )
+        .when(
+            10 * (s["n_hash"] + s["n_ellipsis"]) > s["n_words"],
+            F.lit("symbol_ratio"),
+        )
+        .when(
+            10 * s["n_bullet_lines"] > 9 * s["n_lines"],
+            F.lit("bullet_lines"),
+        )
+        .when(
+            10 * s["n_ellipsis_lines"] > 3 * s["n_lines"],
+            F.lit("ellipsis_lines"),
+        )
+        .when(
+            5 * s["n_alpha_words"] < 4 * s["n_words"],
+            F.lit("alpha_words"),
+        )
+    )
+
+
+def corpus_funnel(spark, sf_dir):
+    """THE end-to-end curation funnel over KERNEL output — the composed
+    batch job a training-data pipeline actually ships: fused extraction
+    kernel (HTML route -> boilerplate strip -> canonical assembly,
+    functions/kernel.py) -> Gopher-signal quality gate (funnel
+    thresholds, _funnel_reason) -> exact dedup (min-id per normalized
+    md5 fingerprint) -> minhash-LSH near dedup (dedup.dedup_corpus's
+    md5 chain) -> PII redaction over deterministically PLANTED per-doc
+    PII (the synthetic corpus has none of its own; redacting planted
+    email/ip/phone proves a real transformation, CLAUDE.md
+    planted-data rule) -> per-doc export counters (token count of the
+    final text). DuckDB replays every stage from the documents table,
+    so the value hash proves the whole composed funnel, not any single
+    operator. Composition mirrors jobs/build_corpus.py; reference
+    parity: the service's per-request pipeline ocr/main.py:151-175
+    composed at corpus scale."""
+    from . import bridge
+
+    wide = bridge.extract_documents(spark, sf_dir).select(
+        "doc_id", "canonical_text"
+    )
+    s = T.gopher_signals(F.col("canonical_text"))
+    gated = wide.where(_funnel_reason(s).isNull()).select(
+        "doc_id", F.col("canonical_text").alias("text")
+    )
+    kept = D.dedup_corpus(gated, threshold=0.7)
+    planted = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+        ),
+        F.concat(
+            F.lit("ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17"),
+        ),
+        F.concat(
+            F.lit("tel +1 555 000 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    red = T.redact_pii(planted)
+    return kept.select(
+        "doc_id",
+        red.alias("text_final"),
+        T.token_count(red).alias("n_tok"),
+    )
+
+
+def _sql_corpus_funnel(
+    threshold: float = 0.7, k: int = 16, bands: int = 4
+) -> str:
+    """DuckDB replay of corpus_funnel from the raw documents table:
+    canonical 12-token-line kernel contract -> funnel Gopher gate ->
+    the _sql_dedup_corpus_kept md5 dedup chain sourced from the gated
+    set -> planted-PII redaction -> token count."""
+    mins = ", ".join(
+        f"list_min(list_transform(sh, s -> md5(concat('{i}:', s)))) AS mh{i}"
+        for i in range(k)
+    )
+    rpb = k // bands
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS band_key FROM sigs".format(
+            b=b,
+            key=" || '|' || ".join(
+                f"mh{i}" for i in range(b * rpb, (b + 1) * rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    eq = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(k)
+    )
+    plant = (
+        "concat_ws(' ', text, "
+        "'contact user' || CAST(doc_id AS VARCHAR) || '@example.com', "
+        "'ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17', "
+        "'tel +1 555 000 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))"
+    )
+    red = plant
+    for pat, repl in T.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return rf"""
+        WITH toks0 AS (
+            SELECT doc_id, tok,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS rn
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\s+')) AS tok,
+                       generate_subscripts(
+                           string_split_regex(text, '\s+'), 1) AS pos
+                FROM documents
+            )
+            WHERE tok <> ''
+        ),
+        lines0 AS (
+            SELECT doc_id, (rn - 1) // 12 AS line_no,
+                   string_agg(tok, ' ' ORDER BY rn) AS line_text,
+                   count(*) AS n
+            FROM toks0 GROUP BY doc_id, (rn - 1) // 12
+        ),
+        assembled AS (
+            SELECT doc_id,
+                   string_agg(line_text, chr(10) ORDER BY line_no) AS txt,
+                   sum(n) AS total
+            FROM lines0 GROUP BY doc_id
+        ),
+        canon AS (
+            SELECT d.doc_id,
+                   CASE WHEN coalesce(a.total, 0) >= 3 THEN a.txt
+                        ELSE '' END AS text
+            FROM documents d LEFT JOIN assembled a USING (doc_id)
+        ),
+        sig0 AS (
+            SELECT doc_id, text,
+                   len({_TOKS_RAW}) AS n_words,
+                   length(regexp_replace(text, '\s', '', 'g'))
+                       AS n_word_chars,
+                   length(text) - length(replace(text, '#', ''))
+                       AS n_hash,
+                   len(regexp_extract_all(text, '(\.\.\.|…)'))
+                       AS n_ellipsis,
+                   length(text) - length(replace(text, chr(10), '')) + 1
+                       AS n_lines,
+                   len(regexp_extract_all(text, '(?m)^[-•*] '))
+                       AS n_bullet_lines,
+                   len(regexp_extract_all(text, '(?m)(\.\.\.|…)$'))
+                       AS n_ellipsis_lines,
+                   len(list_filter({_TOKS_RAW},
+                       x -> regexp_matches(x, '[A-Za-z]')))
+                       AS n_alpha_words
+            FROM canon
+        ),
+        gated AS (
+            SELECT doc_id, text FROM sig0
+            WHERE NOT (n_words < {FUNNEL_MIN_WORDS} OR n_words > 100000)
+              AND NOT (n_word_chars < 3 * n_words
+                       OR n_word_chars > 10 * n_words)
+              AND NOT (10 * (n_hash + n_ellipsis) > n_words)
+              AND NOT (10 * n_bullet_lines > 9 * n_lines)
+              AND NOT (10 * n_ellipsis_lines > 3 * n_lines)
+              AND NOT (5 * n_alpha_words < 4 * n_words)
+        ),
+        fp AS (
+            SELECT doc_id, text,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS fingerprint
+            FROM gated
+        ),
+        survivors AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY doc_id) AS rn
+                FROM fp
+            ) WHERE rn = 1
+        ),
+        {_shingle_ctes("survivors")},
+        sigs AS (SELECT doc_id, {mins} FROM shingled),
+        banded AS ({band_rows}),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        losers AS (
+            SELECT DISTINCT c.id_b
+            FROM cands c
+            JOIN sigs sa ON sa.doc_id = c.id_a
+            JOIN sigs sb ON sb.doc_id = c.id_b
+            WHERE round(({eq}) / {float(k)}, 4) >= {threshold}
+        ),
+        kept AS (
+            SELECT s.doc_id, s.text FROM survivors s
+            LEFT JOIN losers l ON s.doc_id = l.id_b
+            WHERE l.id_b IS NULL
+        ),
+        redacted AS (
+            SELECT doc_id, {red} AS text_final FROM kept
+        )
+        SELECT doc_id, text_final,
+               CAST(len(list_filter(
+                   string_split_regex(text_final, '\s+'), x -> x <> ''))
+                   AS BIGINT) AS n_tok
+        FROM redacted
+    """
+
+
 #: planted per-host texts for the RefinedWeb per-site boilerplate rule
 #: — one shared SQL expression both engines evaluate (same trick as
 #: the Gopher filter). Three line kinds per doc: a host banner shared
@@ -1956,6 +2193,7 @@ SPARK_QUERIES = {
     "neardup_cluster_sizes": neardup_cluster_sizes,
     "url_host_filter": url_host_filter,
     "gopher_filter": gopher_filter,
+    "corpus_funnel": corpus_funnel,
     "host_line_dedup": host_line_dedup,
     "repetition_stats": repetition_stats,
     "embedding_neardups": embedding_neardups,
@@ -1998,6 +2236,7 @@ ORACLES = {
     "neardup_cluster_sizes": _sql_neardup_cluster_sizes(),
     "url_host_filter": _sql_url_host_filter(),
     "gopher_filter": _sql_gopher_filter(),
+    "corpus_funnel": _sql_corpus_funnel(),
     "host_line_dedup": _sql_host_line_dedup(),
     "repetition_stats": _sql_repetition(),
     "dsir_select": _sql_dsir_select(),
