@@ -324,6 +324,56 @@ def test_rate_limited_backlog_drains_in_multiple_isolated_epochs(
     assert all(n > 0 for n in per_epoch.values())
 
 
+def test_streaming_warc_equals_batch_extract(spark, tmp_path):
+    """Stream-vs-batch equivalence for the WARC source (the parquet
+    path's equivalence test, mirrored): a 2-archive backlog drained
+    under maxFilesPerTrigger=1 must (a) honor the rate limit (>= 2
+    epochs, one archive each) and (b) extract EXACTLY the rows the
+    batch path (extract(read_warc(...))) produces — the streaming
+    wrapper must not perturb the contract."""
+    import os
+
+    from tesseract_ocr_service_spark.operators import extract as X
+    from tesseract_ocr_service_spark.sources import warc as W
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    recs = [
+        (r["url"], r["warc_ts"], bytes(r["html"]))
+        for r in (gen.doc(i, 31) for i in range(60))
+    ]
+    W.write_warc(f"{landing}/cc-0.warc.gz", recs[:30])
+    W.write_warc(f"{landing}/cc-1.warc.gz", recs[30:], per_record_gzip=False)
+
+    q = ingest.start_incremental_extract(
+        spark, landing, out, ckpt,
+        source_format="warc", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    ext = spark.read.parquet(f"{out}/extracted")
+    epochs = {
+        r["epoch_id"]: r["n"]
+        for r in ext.groupBy("epoch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert len(epochs) >= 2, epochs  # one archive per micro-batch
+    assert all(n == 30 for n in epochs.values()), epochs
+
+    via_stream = {
+        (r["url"], r["status"], r["canonical_text"])
+        for r in ext.select("url", "status", "canonical_text").collect()
+    }
+    via_batch = {
+        (r["url"], r["status"], r["canonical_text"])
+        for r in X.extract(W.read_warc(spark, landing))
+        .select("url", "status", "canonical_text")
+        .collect()
+    }
+    assert via_stream == via_batch
+    assert len(via_stream) == 60
+
+
 def test_streaming_warc_incremental_extract(spark, tmp_path):
     """WARC landing dir: archives stream through the same kernel +
     epoch sink; a second wave processes only the newly landed archive
