@@ -18,8 +18,9 @@ Scale shape (the honest one for WARC):
   ~100k archives = ~100k tasks: plenty for 1000 executors.
 - the COMPRESSED archive is held in memory (binaryFile row semantics;
   Spark caps binary rows at 2 GiB — CC's ~1 GiB standard size fits,
-  and a >2 GiB outlier must be re-sharded offline or read through a
-  custom chunked source). The INFLATED bytes are never materialized:
+  and a >2 GiB outlier reads through ``read_warc_chunked``, which
+  streams compressed bytes per task and holds neither the compressed
+  nor the inflated archive). The INFLATED bytes are never materialized:
   ``_iter_inflated`` streams bounded slices out of zlib and the WARC
   parser consumes them through a rolling buffer whose peak size is one
   record + one inflate slice — a 1 GiB archive that inflates to ~4-5
@@ -269,6 +270,99 @@ def _gunzip_salvage(content: bytes):
     return b"".join(parts)
 
 
+def _iter_inflated_stream(
+    chunks: Iterator[bytes], max_out: int = 1 << 20
+) -> Iterator[bytes]:
+    """``_iter_inflated`` over an ITERATOR of compressed chunks (the
+    no-2-GiB-cap path: the compressed archive is never materialized
+    either). Same member-boundary and salvage semantics: concatenated
+    gzip members are inflated one decompressobj at a time (member
+    boundaries may fall anywhere inside a chunk — ``unused_data``
+    seeds the next member), a corrupt member/junk tail stops the
+    stream with every cleanly-inflated byte already yielded, and a
+    member truncated at EOF keeps its clean prefix."""
+    import zlib
+
+    d = zlib.decompressobj(wbits=31)
+    any_member_done = False
+    for chunk in chunks:
+        buf = bytes(chunk)
+        while buf:
+            try:
+                out = d.decompress(buf, max_out)
+                if out:
+                    yield out
+                while d.unconsumed_tail and not d.eof:
+                    out = d.decompress(d.unconsumed_tail, max_out)
+                    if out:
+                        yield out
+            except zlib.error:
+                return  # corrupt member / non-gzip junk: prefix kept
+            if d.eof:
+                any_member_done = True
+                buf = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+            else:
+                buf = b""
+    # EOF mid-member: its clean prefix was already yielded (salvage);
+    # any_member_done only documents that state — nothing to flush.
+    del any_member_done
+
+
+def _iter_file_chunks(uri: str, chunk: int = 1 << 20) -> Iterator[bytes]:
+    """Stream a file's bytes in bounded chunks via pyarrow's
+    FileSystem layer (file://, hdfs://, s3://, ... resolve uniformly;
+    a bare path falls back to the local filesystem)."""
+    from urllib.parse import unquote, urlparse
+
+    from pyarrow import fs as pafs
+
+    u = urlparse(uri)
+    if u.scheme in ("", "file"):
+        # Spark renders local paths as single-slash URIs (file:/tmp/x)
+        # which pyarrow's from_uri rejects; go straight to the local FS
+        # with the decoded path.
+        fsys, p = pafs.LocalFileSystem(), unquote(u.path) or uri
+    else:
+        fsys, p = pafs.FileSystem.from_uri(uri)
+    # compression=None: open_input_stream defaults to 'detect' and
+    # would transparently gunzip by the .gz extension — the raw
+    # compressed bytes must reach the salvage-aware inflater instead
+    # (pyarrow's decoder hard-fails on truncated members).
+    with fsys.open_input_stream(p, compression=None) as f:
+        while True:
+            b = f.read(chunk)
+            if not b:
+                return
+            yield bytes(b)
+
+
+def _record_batches(
+    path: str, chunks: Iterator[bytes]
+) -> Iterator[pd.DataFrame]:
+    """Rolling-buffer WARC parse over inflated chunks -> bounded
+    Arrow-batch DataFrames of canonical page rows."""
+    rows: list[dict] = []
+    for rec in _parse_warc_stream(chunks):
+        ts = _warc_ts(rec["date"])
+        rows.append(
+            {
+                "url": rec["uri"],
+                "warc_ts": ts,
+                "warc_day": ts.date().isoformat(),
+                "html": _http_body(rec["payload"]),
+                "text": None,
+                "lang": None,
+                "warc_path": path,
+            }
+        )
+        if len(rows) >= _BATCH_ROWS:
+            yield pd.DataFrame(rows)
+            rows = []
+    if rows:
+        yield pd.DataFrame(rows)
+
+
 def _parse_archives(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for path, content in zip(pdf["path"], pdf["content"]):
@@ -276,26 +370,15 @@ def _parse_archives(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             # python-side memory per archive is one record + one
             # inflate slice, NOT the 4-5x inflated buffer. A non-gzip
             # file inflates to nothing and contributes zero rows.
-            chunks = _iter_inflated(bytes(content))
-            rows: list[dict] = []
-            for rec in _parse_warc_stream(chunks):
-                ts = _warc_ts(rec["date"])
-                rows.append(
-                    {
-                        "url": rec["uri"],
-                        "warc_ts": ts,
-                        "warc_day": ts.date().isoformat(),
-                        "html": _http_body(rec["payload"]),
-                        "text": None,
-                        "lang": None,
-                        "warc_path": path,
-                    }
-                )
-                if len(rows) >= _BATCH_ROWS:
-                    yield pd.DataFrame(rows)
-                    rows = []
-            if rows:
-                yield pd.DataFrame(rows)
+            yield from _record_batches(path, _iter_inflated(bytes(content)))
+
+
+def _parse_paths(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        for path in pdf["path"]:
+            yield from _record_batches(
+                path, _iter_inflated_stream(_iter_file_chunks(path))
+            )
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -309,6 +392,31 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .select("path", "content")
     )
     return files.mapInPandas(_parse_archives, WARC_PAGES_SCHEMA)
+
+
+def read_warc_chunked(spark: SparkSession, path: str) -> DataFrame:
+    """``read_warc`` without the binaryFile 2 GiB row cap: the scan
+    lists archive PATHS only (binaryFile with the content column
+    pruned — no bytes read), one task per archive streams its own
+    compressed bytes in bounded chunks (pyarrow FileSystem: file://,
+    hdfs://, s3:// uniformly) through the same incremental inflate +
+    rolling parse. Peak per-task memory is one compressed chunk + one
+    record — NEITHER the compressed nor the inflated archive is ever
+    materialized, so a 10 GiB outlier archive parses fine. Identical
+    rows to ``read_warc`` (test-pinned); binaryFile stays the default
+    because its listing + row plumbing is the streaming-source shape
+    (``streaming.ingest.stream_warc``) and CC-standard ~1 GiB archives
+    fit it comfortably."""
+    paths = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.gz")
+        .load(path)
+        .select("path")
+    )
+    n = paths.count()  # listing-sized action (one row per archive)
+    return paths.repartition(max(n, 1), "path").mapInPandas(
+        _parse_paths, WARC_PAGES_SCHEMA
+    )
 
 
 # ----------------------------------------------------------- writer
