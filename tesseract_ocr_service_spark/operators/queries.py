@@ -1678,6 +1678,15 @@ def corpus_funnel(spark, sf_dir):
     gated = wide.where(_funnel_reason(s).isNull()).select(
         "doc_id", F.col("canonical_text").alias("text")
     )
+    # cut lineage at the stage boundary (same discipline as
+    # jobs/build_corpus.py): dedup_corpus consumes its input for the
+    # eager signature build AND the returned survivors join, and with
+    # no ReusedExchange under AQE each consumer replays the whole
+    # kernel + gate (CLAUDE.md extra-consumer rule). At sf0.1 the wall
+    # is unchanged (the kernel is ~1.2 s of a 7 s funnel and the
+    # checkpoint write costs about what one replay saves); at real
+    # scale the kernel dominates and must run ONCE.
+    gated = D._truncate_lineage(gated)
     kept = D.dedup_corpus(gated, threshold=0.7)
     planted = F.concat_ws(
         " ",
