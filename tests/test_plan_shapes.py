@@ -287,3 +287,18 @@ def test_compaction_plan_table_join_is_broadcast(spark, tmp_path):
     pcols = [c for c in plan_df.columns if c != "k"]
     # the PRODUCTION join path, not a test-local reconstruction
     assert "BroadcastHashJoin" in _plan(C._with_plan(df, plan_df, pcols))
+
+
+def test_corpus_funnel_dedup_reads_checkpoint_not_parquet(spark):
+    """corpus_funnel cuts lineage at the gate boundary, so the dedup
+    chain (eager signature build + survivors join) must consume the
+    checkpointed gate output — ZERO parquet scans in the final plan.
+    Without the cut, every dedup consumer replays the whole kernel +
+    gate (no ReusedExchange under AQE — CLAUDE.md extra-consumer
+    rule)."""
+    from tesseract_ocr_service_spark.operators import queries as Q
+
+    out = Q.corpus_funnel(spark, "/root/testdata/sf0.001")
+    plan = _plan(out)
+    assert "Scan parquet" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
