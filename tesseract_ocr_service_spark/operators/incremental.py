@@ -110,11 +110,17 @@ def dedup_incremental(
     new side; with non-monotone ids that diverges from the one-shot
     pipeline (which drops the larger id). ``check_monotone`` ENFORCES
     this (default): a violated precondition raises instead of silently
-    diverging. The guard is two tiny single-column aggregates
-    (max stored id vs min increment id — parquet column stats make the
-    store side cheap); ``check_monotone=False`` skips them when the
-    caller guarantees monotone keys structurally (e.g. day-prefixed
-    ids minted by the ingest job itself).
+    diverging. The guard is ONE store-side aggregate (max stored id —
+    parquet column stats make it metadata-cheap) plus a LAZY per-row
+    assertion riding the increment's id column: any new id that does
+    not sort after the stored max raises at execution time, before any
+    output materializes. Deliberately NOT an eager ``min(new id)``
+    action — ``new_docs`` is typically the day's full extraction
+    pipeline, and an extra eager consumer would replay that whole
+    pipeline once per increment (no ReusedExchange under AQE).
+    ``check_monotone=False`` skips the guard when the caller guarantees
+    monotone keys structurally (e.g. day-prefixed ids minted by the
+    ingest job itself).
 
     ``max_bucket`` caps BOTH near-phase candidate paths (intra-new via
     minhash_dedup_pairs, store-x-new via a hot-key drop); in over-cap
@@ -125,17 +131,27 @@ def dedup_incremental(
     from pyspark.storagelevel import StorageLevel
 
     if check_monotone and store_sigs is not None:
+        # store side only: parquet column stats answer max(id) from
+        # metadata. The increment side is asserted LAZILY per row so
+        # new_docs gains no extra eager consumer (see docstring).
         hi = store_sigs.agg(F.max("id")).first()[0]
-        lo = new_docs.agg(F.min(id_col)).first()[0]
-        if hi is not None and lo is not None and not lo > hi:
-            raise ValueError(
-                f"non-monotone increment ids: min new id {lo!r} does "
-                f"not sort after max stored id {hi!r}. The cross-pair "
-                "rule drops the NEW side, which only matches the "
-                "one-shot pipeline (drop the larger id) under monotone "
-                "ingest keys — mint ids that sort after history (e.g. "
-                "day-prefixed), or pass check_monotone=False only if "
-                "divergence is acceptable."
+        if hi is not None:
+            msg = F.format_string(
+                "non-monotone increment ids: new id %s does not sort "
+                "after max stored id %s. The cross-pair rule drops the "
+                "NEW side, which only matches the one-shot pipeline "
+                "(drop the larger id) under monotone ingest keys — "
+                "mint ids that sort after history (e.g. day-prefixed),"
+                " or pass check_monotone=False only if divergence is "
+                "acceptable.",
+                F.col(id_col).cast("string"),
+                F.lit(str(hi)),
+            )
+            new_docs = new_docs.withColumn(
+                id_col,
+                F.when(
+                    F.col(id_col) <= F.lit(hi), F.raise_error(msg)
+                ).otherwise(F.col(id_col)),
             )
 
     sigtab = signature_table(new_docs, id_col, text_col, k, n)

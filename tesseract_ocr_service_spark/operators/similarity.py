@@ -362,6 +362,16 @@ def assign_codebook_batched(
     )
 
 
+def _resolve_assign(assign: str, k: int) -> str:
+    """ONE auto/expr/batched dispatch shared by :func:`semantic_dedup`
+    and :func:`semantic_dedup_cap_stats` — the two must resolve
+    IDENTICALLY (and validate identically) or the reported cap
+    telemetry describes a different assignment than the dedup ran."""
+    if assign not in ("auto", "expr", "batched"):
+        raise ValueError(f"unknown assign mode {assign!r}")
+    return ("batched" if k > 32 else "expr") if assign == "auto" else assign
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[list[float]],
@@ -411,10 +421,7 @@ def semantic_dedup(
     """
     from .dedup import _truncate_lineage, cap_buckets
 
-    if assign not in ("auto", "expr", "batched"):
-        raise ValueError(f"unknown assign mode {assign!r}")
-    if assign == "auto":
-        assign = "batched" if len(centroids) > 32 else "expr"
+    assign = _resolve_assign(assign, len(centroids))
     v = F.col(vec_col).cast("array<double>")
     if assign == "batched":
         raw = assign_codebook_batched(df, centroids, id_col, vec_col)
@@ -481,8 +488,7 @@ def semantic_dedup_cap_stats(
     and operators report caps, never apply them silently)."""
     from .dedup import bucket_cap_stats
 
-    if assign == "auto":
-        assign = "batched" if len(centroids) > 32 else "expr"
+    assign = _resolve_assign(assign, len(centroids))
     if assign == "batched":
         assigned = assign_codebook_batched(df, centroids, id_col, vec_col)
     else:

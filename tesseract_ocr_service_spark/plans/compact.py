@@ -64,14 +64,44 @@ def _root_key(p: str) -> tuple[str, str]:
     )
 
 
-def _check_disjoint_roots(in_root: str, out_root: str) -> None:
+def _qualified_root_key(spark: SparkSession, p: str) -> tuple[str, str]:
+    """_root_key over the Hadoop-QUALIFIED path: makeQualified resolves
+    relative paths (against the FS working dir), fills in the default
+    scheme/authority, and normalizes separators — so '/data/x' and
+    'file:/data/x' (or 'hdfs:///a' and 'hdfs://namenode/a') compare
+    EQUAL instead of bypassing the guard at the scheme early-exit.
+    Falls back to the raw-string key when the scheme has no loadable
+    Hadoop FS (the write itself would fail on such a root anyway)."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        q = hp.getFileSystem(conf).makeQualified(hp).toUri()
+        return (
+            f"{(q.getScheme() or '').lower()}://{q.getAuthority() or ''}",
+            posixpath.normpath(q.getPath() or "/").rstrip("/"),
+        )
+    except Exception:
+        return _root_key(p)
+
+
+def _check_disjoint_roots(
+    in_root: str, out_root: str, spark: SparkSession | None = None
+) -> None:
     """compact() writes out_root with mode('overwrite') and must never
     destroy the only copy: refuse when out_root equals, contains, or is
     nested under in_root. Spark's read-path overwrite check does not
     reliably catch a NESTED out_root (the scan lists in_root before the
     write, then the overwrite both corrupts the source and poisons the
-    next listing)."""
-    (s_in, p_in), (s_out, p_out) = _root_key(in_root), _root_key(out_root)
+    next listing). Roots are Hadoop-qualified first (when a session is
+    given) so equivalent spellings — scheme-qualified vs bare, relative
+    vs absolute, default-FS vs explicit authority — cannot slip past
+    the comparison."""
+    if spark is not None:
+        (s_in, p_in) = _qualified_root_key(spark, in_root)
+        (s_out, p_out) = _qualified_root_key(spark, out_root)
+    else:
+        (s_in, p_in), (s_out, p_out) = _root_key(in_root), _root_key(out_root)
     if s_in != s_out:
         return
     if p_in == p_out or p_out.startswith(p_in + "/") or p_in.startswith(
@@ -214,7 +244,7 @@ def compact(
     per partition, preserving the hive partition layout. ``sort_within``
     orders rows inside each output file (clustering for downstream
     range scans + better column encodings)."""
-    _check_disjoint_roots(in_root, out_root)
+    _check_disjoint_roots(in_root, out_root, spark)
     plan, layout = plan_compaction(spark, in_root, target_bytes)
     df = spark.read.parquet(in_root)
     pcols = [c for c in plan.columns if c != "k"]

@@ -229,33 +229,17 @@ def _iter_inflated(
     detection can be garbage (inherent to deflate), but WARC
     Content-Length framing confines them to single records and the
     parser stops at the first unframeable header. A non-gzip payload
-    yields nothing (first member raises immediately)."""
-    import zlib
+    yields nothing (first member raises immediately).
 
-    pos, n = 0, len(content)
-    while pos < n:
-        d = zlib.decompressobj(wbits=31)  # gzip-wrapped deflate
-        p, corrupt = pos, False
-        while p < n and not d.eof:
-            data = content[p : p + chunk]
-            p += chunk
-            try:
-                out = d.decompress(data, max_out)
-                if out:
-                    yield out
-                while d.unconsumed_tail and not d.eof:
-                    out = d.decompress(d.unconsumed_tail, max_out)
-                    if out:
-                        yield out
-            except zlib.error:
-                corrupt = True
-                break  # corrupt member/junk tail: prefix already out
-        if corrupt or not d.eof:
-            return  # truncated member: its clean prefix is kept
-        consumed = (min(p, n) - pos) - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+    ONE implementation of the salvage semantics exists —
+    :func:`_iter_inflated_stream`; this wrapper just feeds it bounded
+    slices of the in-memory buffer (the equality is test-pinned), so a
+    salvage fix can never land in one copy and miss the other."""
+    view = memoryview(content)
+    yield from _iter_inflated_stream(
+        (view[i : i + chunk] for i in range(0, len(view), chunk)),
+        max_out,
+    )
 
 
 def _gunzip_salvage(content: bytes):
@@ -284,7 +268,6 @@ def _iter_inflated_stream(
     import zlib
 
     d = zlib.decompressobj(wbits=31)
-    any_member_done = False
     for chunk in chunks:
         buf = bytes(chunk)
         while buf:
@@ -299,14 +282,25 @@ def _iter_inflated_stream(
             except zlib.error:
                 return  # corrupt member / non-gzip junk: prefix kept
             if d.eof:
-                any_member_done = True
                 buf = d.unused_data
                 d = zlib.decompressobj(wbits=31)
             else:
                 buf = b""
-    # EOF mid-member: its clean prefix was already yielded (salvage);
-    # any_member_done only documents that state — nothing to flush.
-    del any_member_done
+    # EOF mid-member: its clean prefix was already yielded (salvage) —
+    # nothing to flush.
+
+
+def _pafs_uri(uri: str) -> str:
+    """Rewrite Hadoop's object-store scheme spellings (s3a://, s3n:// —
+    what Spark's own listing emits in the path column for S3) to the
+    s3:// scheme pyarrow's FileSystem.from_uri understands; every other
+    URI passes through untouched."""
+    from urllib.parse import urlparse
+
+    scheme = urlparse(uri).scheme.lower()
+    if scheme in ("s3a", "s3n"):
+        return "s3" + uri[len(scheme):]
+    return uri
 
 
 def _iter_file_chunks(uri: str, chunk: int = 1 << 20) -> Iterator[bytes]:
@@ -317,14 +311,29 @@ def _iter_file_chunks(uri: str, chunk: int = 1 << 20) -> Iterator[bytes]:
 
     from pyarrow import fs as pafs
 
+    import pyarrow as pa
+
     u = urlparse(uri)
-    if u.scheme in ("", "file"):
+    scheme = u.scheme.lower()
+    if scheme in ("", "file"):
         # Spark renders local paths as single-slash URIs (file:/tmp/x)
         # which pyarrow's from_uri rejects; go straight to the local FS
         # with the decoded path.
         fsys, p = pafs.LocalFileSystem(), unquote(u.path) or uri
     else:
-        fsys, p = pafs.FileSystem.from_uri(uri)
+        try:
+            fsys, p = pafs.FileSystem.from_uri(_pafs_uri(uri))
+        except pa.lib.ArrowInvalid as e:
+            # unrecognized-scheme only — network/credential errors on
+            # a RECOGNIZED store must surface as themselves.
+            raise ValueError(
+                f"cannot stream {uri!r}: pyarrow FileSystem.from_uri "
+                f"does not recognize scheme {scheme!r} (hdfs/s3/gs "
+                "coverage depends on the installed pyarrow build; "
+                "abfss/wasbs need a pyarrow with Azure support). Use "
+                "read_warc (binaryFile) for archives under 2 GiB, or "
+                "mirror outlier archives to a supported store."
+            ) from e
     # compression=None: open_input_stream defaults to 'detect' and
     # would transparently gunzip by the .gz extension — the raw
     # compressed bytes must reach the salvage-aware inflater instead
@@ -407,16 +416,23 @@ def read_warc_chunked(spark: SparkSession, path: str) -> DataFrame:
     because its listing + row plumbing is the streaming-source shape
     (``streaming.ingest.stream_warc``) and CC-standard ~1 GiB archives
     fit it comfortably."""
-    paths = (
+    listed = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc.gz")
         .load(path)
         .select("path")
-    )
-    n = paths.count()  # listing-sized action (one row per archive)
-    return paths.repartition(max(n, 1), "path").mapInPandas(
-        _parse_paths, WARC_PAGES_SCHEMA
-    )
+        .collect()
+    )  # listing-sized: one short path string per archive (a full CC
+    #    dump is ~90k archives — trivially driver-sized)
+    archives = sorted(r.path for r in listed)
+    n = max(len(archives), 1)
+    # sc.parallelize slices the list EXACTLY evenly — one archive per
+    # task. repartition(n, 'path') would HASH-partition: ~1/e of tasks
+    # end up empty while colliding tasks stream multiple multi-GiB
+    # archives serially, exactly where this reader is supposed to help.
+    rdd = spark.sparkContext.parallelize([(p,) for p in archives], n)
+    paths = spark.createDataFrame(rdd, "path string")
+    return paths.mapInPandas(_parse_paths, WARC_PAGES_SCHEMA)
 
 
 # ----------------------------------------------------------- writer

@@ -213,3 +213,23 @@ def test_plan_ignores_hidden_directories(spark, fragmented):
     _, layout = C.plan_compaction(spark, fragmented, target_bytes=1 << 40)
     assert layout.n_partitions == 3
     assert layout.n_files_target == 3
+
+
+def test_compact_refuses_equivalent_root_spellings(spark, fragmented):
+    """Scheme-qualified vs bare and relative vs absolute spellings of
+    the SAME root must not slip past the guard at its scheme
+    early-exit: roots are Hadoop-qualified (makeQualified) before the
+    nesting comparison, so every spelling of a nested out_root is
+    rejected before any write."""
+    nested = os.path.join(fragmented, "tidy")
+    spellings = [
+        "file:" + nested,        # Spark's single-slash local spelling
+        "file://" + nested,
+        os.path.relpath(nested), # relative vs absolute
+    ]
+    for bad_out in spellings:
+        with pytest.raises(ValueError, match="overlaps in_root"):
+            C.compact(spark, fragmented, bad_out, id_col="doc_id")
+    # and the mirror: scheme-qualified INPUT vs bare nested output
+    with pytest.raises(ValueError, match="overlaps in_root"):
+        C.compact(spark, "file:" + fragmented, nested, id_col="doc_id")

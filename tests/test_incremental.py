@@ -125,8 +125,12 @@ def test_non_monotone_increment_ids_raise(spark):
     """A violated monotone-id precondition RAISES instead of silently
     diverging from the one-shot keep/drop (the cross-pair rule always
     drops the new side, which only equals 'drop the larger id' when
-    new ids sort after every stored id). check_monotone=False keeps
-    the old caller-guaranteed behavior."""
+    new ids sort after every stored id). The guard is LAZY on the
+    increment side (no extra eager consumer of new_docs — that would
+    replay the day's whole extraction pipeline), so the raise surfaces
+    at the first action over the returned frames, before any output
+    materializes. check_monotone=False keeps the old caller-guaranteed
+    behavior."""
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
     d1 = spark.createDataFrame(
         [(10, base), (11, base + " nu")], ["doc_id", "text"]
@@ -136,8 +140,9 @@ def test_non_monotone_increment_ids_raise(spark):
         ["doc_id", "text"],
     )
     _, s1 = I.dedup_incremental(d1, persist=False)
-    with pytest.raises(ValueError, match="non-monotone increment ids"):
-        I.dedup_incremental(d2, s1, persist=False)
+    with pytest.raises(Exception, match="non-monotone increment ids"):
+        k_bad, _ = I.dedup_incremental(d2, s1, persist=False)
+        k_bad.collect()
     # explicit opt-out still runs (documented divergence risk)
     k2, _ = I.dedup_incremental(
         d2, s1, persist=False, check_monotone=False

@@ -998,3 +998,18 @@ def test_batched_similarity_paths_preserve_id_type(spark):
     )
     assert dict(banded.dtypes)["id"] == "string"
     assert banded.count() == 12
+
+
+def test_semantic_dedup_cap_stats_validates_assign(spark):
+    """The cap-stats telemetry shares semantic_dedup's assign dispatch
+    (one helper): an invalid mode must raise identically, never fall
+    through to the wrong (plan-exploding at large K) expr path and
+    report caps for an assignment the dedup never ran."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="unknown assign mode"):
+        S.semantic_dedup_cap_stats(df, cents, 10, assign="bathced")
+    with pytest.raises(ValueError, match="unknown assign mode"):
+        S.semantic_dedup(df, cents, assign="bathced")

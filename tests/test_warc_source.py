@@ -338,3 +338,36 @@ def test_corrupt_member_midway_keeps_clean_prefix():
     assert out is not None
     assert len(out) < len(data)  # corruption detected, stream cut
     assert out[:700000] == data[:700000]  # clean prefix survives
+
+
+def test_chunked_reader_one_archive_per_task(spark, tmp_path):
+    """The chunked path exists for multi-GiB outlier archives: paths
+    must spread EXACTLY one per task (sc.parallelize slicing). A hash
+    repartition on path would leave ~1/e of tasks empty while the
+    colliding tasks stream several huge archives serially — wall
+    doubles exactly where this reader is supposed to help."""
+    recs = _records(4)
+    for i in range(5):
+        W.write_warc(str(tmp_path / f"a{i}.warc.gz"), recs)
+    df = W.read_warc_chunked(spark, str(tmp_path))
+    per_part = (
+        df.select("warc_path")
+        .rdd.glom()
+        .map(lambda rows: {r[0] for r in rows})
+        .collect()
+    )
+    assert len(per_part) == 5
+    assert all(len(s) == 1 for s in per_part), per_part
+
+
+def test_object_store_scheme_spellings():
+    """Spark's S3 listing emits s3a:// URIs; pyarrow only understands
+    s3://. The rewrite must map s3a/s3n and pass everything else
+    through; a genuinely unknown scheme must fail with a CLEAR error
+    (not an ArrowInvalid deep inside a parse task)."""
+    assert W._pafs_uri("s3a://b/crawl/a.warc.gz") == "s3://b/crawl/a.warc.gz"
+    assert W._pafs_uri("s3n://b/k") == "s3://b/k"
+    assert W._pafs_uri("S3A://b/k") == "s3://b/k"
+    assert W._pafs_uri("hdfs://nn:8020/a.gz") == "hdfs://nn:8020/a.gz"
+    with pytest.raises(ValueError, match="does not recognize scheme"):
+        list(W._iter_file_chunks("foo://bucket/a.warc.gz"))
