@@ -79,6 +79,7 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Rotate next round: move the freshly-verified block to the end.
 _CHECK_FIRST = [
     # new this round
+    "content_type_gate",
     "corpus_funnel",
     # 12 relational queries green in r03 but outside r04's 50-window
     "pricing_summary",
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nonempty_word_counts": R.nonempty_word_counts,
         "ts_window_rollup": R.ts_window_rollup,
         "validation_routing": R.validation_routing,
+        "content_type_gate": R.content_type_gate,
         "pricing_summary": R.pricing_summary,
         "top_customers_by_region": R.top_customers_by_region,
         "json_export": R.json_export,
@@ -287,6 +289,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS status,
                    count(*) AS n_docs
             FROM documents GROUP BY 1
+        """,
+        "content_type_gate": """
+            WITH planted AS (
+                SELECT CASE doc_id % 7
+                         WHEN 0 THEN 'application/pdf'
+                         WHEN 1 THEN 'Application/PDF; charset=binary'
+                         WHEN 2 THEN 'application/octet-stream'
+                         WHEN 3 THEN 'text/html; charset=UTF-8'
+                         WHEN 4 THEN 'image/png'
+                         WHEN 5 THEN ''
+                         ELSE NULL END AS content_type
+                FROM documents
+            )
+            SELECT CASE WHEN content_type IS NULL
+                          OR trim(content_type) = '' THEN '(absent)'
+                        ELSE lower(trim(split_part(content_type, ';', 1)))
+                   END AS base_type,
+                   CASE WHEN content_type IS NULL
+                          OR trim(content_type) = ''
+                          OR lower(trim(split_part(content_type, ';', 1)))
+                             IN ('application/pdf',
+                                 'application/octet-stream', 'text/html')
+                        THEN 'ok' ELSE 'rejected' END AS status,
+                   count(*) AS n_docs
+            FROM planted GROUP BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -35,6 +35,24 @@ class ExtractConfig:
     # enforced ocr/main.py:368-378).
     max_file_size_mb: int = 100
 
+    # declared Content-Type allow-list (reference gate ocr/main.py:354-363:
+    # application/pdf accepted, octet-stream tolerated because "many
+    # clients don't set the type"; text/html added — HTML payloads are
+    # first-class here). Checked BEFORE size/magic, but only when the
+    # input frame carries a `content_type` column (e.g. the WARC source
+    # surfaces the HTTP response header); crawl MIME labels stay
+    # advisory — an ABSENT/empty declared type always passes, magic
+    # sniffing still decides the parse path. None disables the gate
+    # entirely. Matching is parameter-stripped + case-folded
+    # ('Text/HTML; charset=UTF-8' -> 'text/html'): the reference's
+    # exact-match is the curated-upload special case and would reject
+    # nearly every real crawl header on parameters alone.
+    allowed_content_types: Optional[tuple[str, ...]] = (
+        "application/pdf",
+        "application/octet-stream",
+        "text/html",
+    )
+
     # deskew applied iff abs(angle) > skew_threshold — strictly greater
     # (ocr_processor.py:443; OCR_SKEW_THRESHOLD=0.3 in .env.example:82).
     skew_threshold: float = 0.3

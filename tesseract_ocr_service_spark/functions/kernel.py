@@ -74,20 +74,28 @@ OUTPUT_COLUMNS = [
 ]
 
 
-def _route(payload: Any, max_bytes: int) -> tuple[str, str | None]:
+def _route(
+    payload: Any, max_bytes: int, ct_reject: bool = False
+) -> tuple[str, str | None]:
     """-> (kind, reject_reason). kind in {'pdf','html','rejected'}.
 
-    Mirrors the reference's validation order (ocr/main.py:335-390): size
-    gate, then magic. HTML (leading '<') is a new accepted payload kind
-    per the north_star; anything else is rejected, as a status row rather
-    than an HTTP 400/413.
+    Mirrors the reference's validation order (ocr/main.py:335-390):
+    declared Content-Type first (:354-363), then size, then magic. HTML
+    (leading '<') is a new accepted payload kind per the north_star;
+    anything else is rejected, as a status row rather than an HTTP
+    400/413.
 
-    DOCUMENTED DELTA: the reference additionally gates on the upload's
-    declared Content-Type BEFORE sniffing magic (ocr/main.py:354-363) —
-    an HTTP-transport concern with no analog here: the pages schema
-    carries no MIME column, and crawl-sourced MIME labels are untrusted
-    anyway, so routing is decided by payload bytes alone (size → magic).
-    """
+    ``ct_reject`` is the Content-Type gate's PRE-COMPUTED verdict: the
+    normalization + allow-list decision is one JVM expression
+    (operators.extract.content_type_ok) evaluated before the kernel and
+    riding in as a boolean column, so exactly ONE implementation of the
+    gate semantics exists and the kernel stays string-logic-free. Rows
+    without a content_type column never set it (gate off — the
+    reference likewise tolerates an absent declared type)."""
+    if ct_reject:
+        # reference: HTTP 400 invalid_file_type (ocr/main.py:357-363),
+        # checked BEFORE the file is even read.
+        return "rejected", "invalid_file_type"
     if payload is None or len(payload) == 0:
         return "rejected", "empty_payload"
     if len(payload) > max_bytes:
@@ -162,6 +170,16 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     urls = batch["url"].tolist()
     payloads = batch["html"].tolist()
     selections = _row_selections(batch, cfg, n)
+    # pre-computed Content-Type verdicts (see _route): absent column =
+    # gate off for the whole batch. `x is True`, not bool(x) — a NULL
+    # boolean crosses Arrow as None/NaN/pd.NA and must mean OFF
+    # (bool(nan) is True; pd.NA is ambiguous); Series.tolist() has
+    # already converted numpy bools to python bools.
+    ct_rej = (
+        [x is True for x in batch["_ct_reject"].tolist()]
+        if "_ct_reject" in batch.columns
+        else None
+    )
 
     # per-doc state -------------------------------------------------
     status = [STATUS_OK] * n
@@ -181,7 +199,11 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     _WORD_COLS = _REC_COLS[2:]  # block..conf, matching WORD_FIELDS order
 
     for d in range(n):
-        kind, reason = _route(payloads[d], cfg.max_file_size_bytes)
+        kind, reason = _route(
+            payloads[d],
+            cfg.max_file_size_bytes,
+            ct_rej is not None and ct_rej[d],
+        )
         if kind == "rejected":
             status[d] = STATUS_REJECTED
             error[d] = reason

@@ -38,6 +38,27 @@ from ..schema import EXTRACTED_SCHEMA
 KERNEL_INPUT = ("url", "warc_ts", "html", "lang")
 
 
+def content_type_ok(
+    ct, allowed: tuple[str, ...] = (
+        "application/pdf", "application/octet-stream", "text/html",
+    )
+):
+    """Declared-Content-Type gate as ONE JVM boolean expression — the
+    reference's upload gate (ocr/main.py:354-363: reject any declared
+    type other than application/pdf, tolerating octet-stream and an
+    ABSENT type) generalized for crawl headers: the base type is
+    parameter-stripped and case-folded ('Text/HTML; charset=UTF-8' ->
+    'text/html') before the allow-list check, and NULL/empty passes —
+    crawl MIME labels are advisory, magic sniffing still decides the
+    parse path (kernel._route). NULL-safe by construction (a NULL
+    predicate would otherwise silently PASS a gate built from
+    comparisons — CLAUDE.md NULL-gate rule works in reverse here:
+    tolerance must be EXPLICIT, not an accident of NULL logic)."""
+    c = F.col(ct) if isinstance(ct, str) else ct
+    base = F.lower(F.trim(F.substring_index(c, ";", 1)))
+    return c.isNull() | (F.trim(c) == "") | base.isin(list(allowed))
+
+
 def session_builder(
     app: str = "tesseract_ocr_service_spark",
     master: Optional[str] = None,
@@ -126,7 +147,22 @@ def extract(
         for c in ("pages", "page_start", "page_end")
         if c in pages.columns
     ]
-    df = pages.select(*KERNEL_INPUT, *per_row)
+    ct_cols = []
+    if (
+        "content_type" in pages.columns
+        and cfg.allowed_content_types is not None
+    ):
+        # Content-Type gate verdict computed HERE, JVM-side, as one
+        # boolean riding into the kernel — single implementation of the
+        # gate semantics (see content_type_ok / kernel._route).
+        ct_cols = [
+            (
+                ~content_type_ok(
+                    F.col("content_type"), cfg.allowed_content_types
+                )
+            ).alias("_ct_reject")
+        ]
+    df = pages.select(*KERNEL_INPUT, *per_row, *ct_cols)
     if languages:
         df = df.where(F.col("lang").isin(list(languages)))
     if salt_partitions > 0:

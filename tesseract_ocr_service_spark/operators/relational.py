@@ -178,6 +178,49 @@ def validation_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- S3 (Content-Type leg): the reference's declared-type gate
+# (ocr/main.py:354-363) through the ENGINE's real expression
+# (extract.content_type_ok — the same one the kernel's pre-routing
+# verdict uses). The documents table carries no MIME column, so the
+# declared types are PLANTED deterministically from doc_id (identical
+# derivation in the SQL oracle — same planted-data pattern as
+# pii_redaction: a hash match proves the normalization + allow-list
+# decision, not an identity pass). Covers: exact allowed, uppercase +
+# parameters, octet-stream tolerance, html with charset, a disallowed
+# type, empty string, and NULL (absent header).
+def content_type_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extract import content_type_ok
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+    planted = (
+        F.when(m == 0, "application/pdf")
+        .when(m == 1, "Application/PDF; charset=binary")
+        .when(m == 2, "application/octet-stream")
+        .when(m == 3, "text/html; charset=UTF-8")
+        .when(m == 4, "image/png")
+        .when(m == 5, "")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    sel = docs.select(planted.alias("content_type"))
+    c = F.col("content_type")
+    # explicit absent/empty label: duckdb's split_part(NULL) returns ''
+    # (non-standard), so a coalesce-after-split diverges across engines
+    base = F.when(
+        c.isNull() | (F.trim(c) == ""), "(absent)"
+    ).otherwise(F.lower(F.trim(F.substring_index(c, ";", 1))))
+    return (
+        sel.select(
+            base.alias("base_type"),
+            F.when(content_type_ok(F.col("content_type")), "ok")
+            .otherwise("rejected")
+            .alias("status"),
+        )
+        .groupBy("base_type", "status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # --- Showcase joins/aggs the engine inherits from Catalyst: TPC-H Q1
 # shape (cents-integral) and a broadcast join top-k.
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -61,10 +61,13 @@ from pyspark.sql import functions as F
 _BATCH_ROWS = 512
 _CRLF2 = b"\r\n\r\n"
 
-#: output schema — the canonical pages shape + per-archive lineage
+#: output schema — the canonical pages shape + per-archive lineage +
+#: the HTTP response's declared Content-Type (NULL when absent), which
+#: feeds ExtractConfig.allowed_content_types' pre-kernel gate
+#: (reference ocr/main.py:354-363).
 WARC_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, warc_day string, html binary, "
-    "text string, lang string, warc_path string"
+    "text string, lang string, warc_path string, content_type string"
 )
 
 
@@ -166,14 +169,34 @@ def _parse_warc_stream(
             stats["peak_buf"] = max(stats.get("peak_buf", 0), peak)
 
 
+#: Content-Type header line within the HTTP head (case-insensitive,
+#: anchored to a line start so a body echo can't match).
+_CT_RE = re.compile(rb"^content-type:[ \t]*([^\r\n]*)", re.I | re.M)
+
+
+def _http_split(payload: bytes) -> tuple[str | None, bytes]:
+    """-> (declared content-type or None, page body). ONE scan of the
+    HTTP head: bytes after the first CRLFCRLF are the body, the
+    Content-Type header (when present) is captured from the head only.
+    A payload without an HTTP status line is a bare body (WET-style) —
+    no head, no declared type."""
+    if payload.startswith(b"HTTP/"):
+        i = payload.find(_CRLF2)
+        if i < 0:
+            return None, b""
+        m = _CT_RE.search(payload, 0, i)
+        ct = (
+            m.group(1).strip().decode("latin-1") or None if m else None
+        )
+        return ct, payload[i + len(_CRLF2):]
+    return None, payload
+
+
 def _http_body(payload: bytes) -> bytes:
     """Strip the stored HTTP response head; bytes after the first
     CRLFCRLF are the page body. A payload without an HTTP status line
     is taken as a bare body (WET-style)."""
-    if payload.startswith(b"HTTP/"):
-        i = payload.find(_CRLF2)
-        return payload[i + len(_CRLF2):] if i >= 0 else b""
-    return payload
+    return _http_split(payload)[1]
 
 
 #: timestamp for records whose WARC-Date does not parse. warc_ts is
@@ -354,15 +377,17 @@ def _record_batches(
     rows: list[dict] = []
     for rec in _parse_warc_stream(chunks):
         ts = _warc_ts(rec["date"])
+        ctype, body = _http_split(rec["payload"])
         rows.append(
             {
                 "url": rec["uri"],
                 "warc_ts": ts,
                 "warc_day": ts.date().isoformat(),
-                "html": _http_body(rec["payload"]),
+                "html": body,
                 "text": None,
                 "lang": None,
                 "warc_path": path,
+                "content_type": ctype,
             }
         )
         if len(rows) >= _BATCH_ROWS:

@@ -371,3 +371,68 @@ def test_flow_template_fallback_matches_cached_path():
     cols2, k2, _, _ = htmlx.extract_words_columnar(small, cfg)
     assert k2 == 2
     assert cols2[2][:13] == [1] * 12 + [2]  # line wraps at 12
+
+
+# -------------------------------------------------- content-type gate
+
+
+def test_content_type_gate_batch_level():
+    """The reference's declared-type gate (ocr/main.py:354-363) rides
+    into the kernel as a PRE-COMPUTED boolean (_ct_reject): True
+    rejects with invalid_file_type BEFORE size/magic (a gated row's
+    payload is never sniffed); False/NULL/absent column = gate off."""
+    html = b"<html><body><p>three word block</p></body></html>"
+    batch = pd.DataFrame(
+        {
+            "url": ["a", "b", "c"],
+            "warc_ts": pd.Timestamp("2026-01-05"),
+            "html": [html, html, b"\x89PNG garbage"],
+            "lang": "eng",
+            "_ct_reject": [True, False, None],
+        }
+    )
+    out = kernel.extract_batch(batch, CFG)
+    assert list(out["status"]) == ["rejected", "ok", "rejected"]
+    assert out.loc[0, "error"] == "invalid_file_type"
+    assert out.loc[2, "error"] == "invalid_payload"  # NULL verdict: off
+    # without the column, nothing changes (existing suite pins that)
+    out2 = run([html])
+    assert out2.loc[0, "status"] == "ok"
+
+
+def test_content_type_gate_e2e(spark):
+    """extract() computes the verdict JVM-side from a `content_type`
+    column (content_type_ok: parameter-strip + case-fold + allow-list,
+    NULL/empty tolerated) — one implementation of the gate semantics,
+    checked end to end through the fused kernel."""
+    from pyspark.sql import functions as F
+
+    from tesseract_ocr_service_spark.operators import extract as X
+
+    html = b"<html><body><p>three word block here</p></body></html>"
+    rows = [
+        ("u_html", html, "Text/HTML; charset=UTF-8"),
+        ("u_png", html, "image/png"),
+        ("u_none", html, None),
+        ("u_empty", html, ""),
+        ("u_octet", html, "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, html binary, content_type string"
+    ).select(
+        "url",
+        F.lit("2026-01-05 00:00:00").cast("timestamp").alias("warc_ts"),
+        "html",
+        F.lit("eng").alias("lang"),
+        "content_type",
+    )
+    got = {
+        r["url"]: (r["status"], r["error"])
+        for r in X.extract(df).select("url", "status", "error").collect()
+    }
+    assert got["u_png"] == ("rejected", "invalid_file_type")
+    for u in ("u_html", "u_none", "u_empty", "u_octet"):
+        assert got[u][0] == "ok", (u, got[u])
+    # allowed_content_types=None disables the gate entirely
+    off = X.extract(df, ExtractConfig(allowed_content_types=None))
+    assert all(r["status"] == "ok" for r in off.select("status").collect())

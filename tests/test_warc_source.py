@@ -371,3 +371,33 @@ def test_object_store_scheme_spellings():
     assert W._pafs_uri("hdfs://nn:8020/a.gz") == "hdfs://nn:8020/a.gz"
     with pytest.raises(ValueError, match="does not recognize scheme"):
         list(W._iter_file_chunks("foo://bucket/a.warc.gz"))
+
+
+def test_http_split_content_type():
+    """_http_split captures the declared Content-Type from the HTTP
+    head (case-insensitive, head-only — a body echo can't match) and
+    returns the exact same body as _http_body; bare (WET-style)
+    payloads have no head and no declared type."""
+    payload = (
+        b"HTTP/1.1 200 OK\r\ncontent-TYPE: Text/HTML; charset=UTF-8\r\n"
+        b"Content-Length: 5\r\n\r\nhello\r\nContent-Type: image/png"
+    )
+    ct, body = W._http_split(payload)
+    assert ct == "Text/HTML; charset=UTF-8"
+    assert body == b"hello\r\nContent-Type: image/png"
+    assert W._http_body(payload) == body
+    # no header -> None; bare body -> None + identity
+    assert W._http_split(b"HTTP/1.1 200 OK\r\nX: 1\r\n\r\nbody")[0] is None
+    assert W._http_split(b"just text") == (None, b"just text")
+    # empty header value -> None, not ''
+    assert W._http_split(b"HTTP/1.1 200 OK\r\nContent-Type: \r\n\r\nb")[0] is None
+
+
+def test_warc_reader_surfaces_content_type(spark, tmp_path):
+    """The pages frame carries the HTTP response's declared
+    Content-Type so ExtractConfig.allowed_content_types' pre-kernel
+    gate (reference ocr/main.py:354-363) composes with the WARC source
+    out of the box."""
+    W.write_warc(str(tmp_path / "a.warc.gz"), _records(3))
+    rows = W.read_warc(spark, str(tmp_path)).select("content_type").collect()
+    assert [r[0] for r in rows] == ["text/html"] * 3
