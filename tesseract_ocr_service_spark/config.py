@@ -12,6 +12,17 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
+#: THE declared-Content-Type allow-list — the single source shared by
+#: ExtractConfig.allowed_content_types (engine path) and
+#: operators.extract.content_type_ok's default (harness oracle path),
+#: so the two can never drift apart. Reference set (ocr/main.py:354-363)
+#: plus text/html (HTML payloads are first-class here).
+ALLOWED_CONTENT_TYPES: tuple[str, ...] = (
+    "application/pdf",
+    "application/octet-stream",
+    "text/html",
+)
+
 
 @dataclass(frozen=True)
 class ExtractConfig:
@@ -46,11 +57,12 @@ class ExtractConfig:
     # entirely. Matching is parameter-stripped + case-folded
     # ('Text/HTML; charset=UTF-8' -> 'text/html'): the reference's
     # exact-match is the curated-upload special case and would reject
-    # nearly every real crawl header on parameters alone.
+    # nearly every real crawl header on parameters alone. ONE list:
+    # the module-level ALLOWED_CONTENT_TYPES is also content_type_ok's
+    # default, so the engine path and the harness oracle query can
+    # never validate different lists.
     allowed_content_types: Optional[tuple[str, ...]] = (
-        "application/pdf",
-        "application/octet-stream",
-        "text/html",
+        ALLOWED_CONTENT_TYPES
     )
 
     # deskew applied iff abs(angle) > skew_threshold — strictly greater

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import Any, Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 
 from ..config import (
@@ -171,12 +172,16 @@ def extract_batch(batch: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     payloads = batch["html"].tolist()
     selections = _row_selections(batch, cfg, n)
     # pre-computed Content-Type verdicts (see _route): absent column =
-    # gate off for the whole batch. `x is True`, not bool(x) — a NULL
-    # boolean crosses Arrow as None/NaN/pd.NA and must mean OFF
-    # (bool(nan) is True; pd.NA is ambiguous); Series.tolist() has
-    # already converted numpy bools to python bools.
+    # gate off for the whole batch. isinstance-guarded truthiness, not
+    # bool(x) — a NULL boolean crosses Arrow as None/NaN/pd.NA and
+    # must mean OFF (bool(nan) is True; pd.NA truthiness raises) —
+    # and not `x is True`, which misses np.bool_ values riding an
+    # object-dtype column from pandas-facing callers.
     ct_rej = (
-        [x is True for x in batch["_ct_reject"].tolist()]
+        [
+            isinstance(x, (bool, np.bool_)) and bool(x)
+            for x in batch["_ct_reject"].tolist()
+        ]
         if "_ct_reject" in batch.columns
         else None
     )

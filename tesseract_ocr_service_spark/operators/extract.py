@@ -29,7 +29,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import ExtractConfig
+from ..config import ALLOWED_CONTENT_TYPES, ExtractConfig
 from ..functions.kernel import kernel_iter
 from ..schema import EXTRACTED_SCHEMA
 
@@ -38,11 +38,7 @@ from ..schema import EXTRACTED_SCHEMA
 KERNEL_INPUT = ("url", "warc_ts", "html", "lang")
 
 
-def content_type_ok(
-    ct, allowed: tuple[str, ...] = (
-        "application/pdf", "application/octet-stream", "text/html",
-    )
-):
+def content_type_ok(ct, allowed: tuple[str, ...] = ALLOWED_CONTENT_TYPES):
     """Declared-Content-Type gate as ONE JVM boolean expression — the
     reference's upload gate (ocr/main.py:354-363: reject any declared
     type other than application/pdf, tolerating octet-stream and an

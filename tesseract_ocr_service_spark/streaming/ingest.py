@@ -36,8 +36,29 @@ def stream_pages(
     landing_path: str,
     max_files_per_trigger: Optional[int] = None,
 ) -> DataFrame:
+    """File-source stream over the landing table. The schema is PROBED
+    from the landed files themselves (one batch listing) rather than
+    pinned to the canonical PAGES_SCHEMA: the batch path reads ALL
+    columns, and the OPTIONAL per-row columns extract() honors —
+    ``content_type`` (the declared-type gate) and ``pages``/
+    ``page_start``/``page_end`` (per-row config) — must survive the
+    streaming path identically, or batch and streaming silently
+    diverge on the same staged data (gate on in one, off in the
+    other). Falls back to PAGES_SCHEMA when nothing has landed yet
+    (a stream needs a schema before its first file exists)."""
+    try:
+        # recursiveFileLookup both here and in the probe: partition
+        # inference stays OFF on both paths, so the probed schema is
+        # exactly the leaf-file schema the stream will decode.
+        probed = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(landing_path)
+            .schema
+        )
+    except Exception:
+        probed = PAGES_SCHEMA
     reader = (
-        spark.readStream.schema(PAGES_SCHEMA)
+        spark.readStream.schema(probed)
         .format("parquet")
         .option("recursiveFileLookup", "true")  # warc_day=... subdirs
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tesseract_ocr_service_spark.operators import extract as X
 from tesseract_ocr_service_spark.sources import gen
 from tesseract_ocr_service_spark.streaming import ingest
 
@@ -408,3 +409,45 @@ def test_streaming_warc_incremental_extract(spark, tmp_path):
     ext = spark.read.parquet(f"{out}/extracted")
     assert ext.count() == 80
     assert ext.select("url").distinct().count() == 80
+
+
+def test_stream_pages_carries_optional_columns(spark, tmp_path):
+    """The streaming source must see the SAME columns the batch path
+    reads: a landing table staged with content_type must have the gate
+    fire identically in batch and streaming (schema is probed from the
+    landed files, not pinned to the canonical PAGES_SCHEMA — a pinned
+    schema silently dropped the column and turned the gate off on one
+    path only)."""
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = gen.generate_pages(spark, 40, seed=5, partitions=2)
+    staged = pages.withColumn(
+        "content_type",
+        F.when(F.xxhash64("url") % 4 == 0, "image/png").otherwise(
+            F.lit("text/html; charset=UTF-8")
+        ),
+    ).withColumn("warc_day", F.to_date("warc_ts"))
+    staged.write.partitionBy("warc_day").parquet(landing)
+
+    # streaming source surfaces the extra column
+    assert "content_type" in ingest.stream_pages(spark, landing).columns
+
+    q = ingest.start_incremental_extract(spark, landing, out, ckpt)
+    q.awaitTermination(300)
+    got_stream = {
+        r["url"]: (r["status"], r["error"])
+        for r in spark.read.parquet(f"{out}/extracted")
+        .select("url", "status", "error")
+        .collect()
+    }
+    got_batch = {
+        r["url"]: (r["status"], r["error"])
+        for r in X.extract(spark.read.parquet(landing))
+        .select("url", "status", "error")
+        .collect()
+    }
+    assert got_stream == got_batch
+    rejected = [u for u, (s, e) in got_batch.items() if e == "invalid_file_type"]
+    assert rejected, "planted disallowed types must reject on both paths"
