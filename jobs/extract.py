@@ -55,6 +55,13 @@ def parse_args(argv):
     p.add_argument("--page-end", type=int, default=None)
     p.add_argument("--no-spans", action="store_true")
     p.add_argument(
+        "--allow-content-types",
+        default=None,
+        help="comma list overriding the declared-Content-Type allow-"
+        "list (gate fires only when the pages table has a content_type"
+        " column); 'none' disables the gate",
+    )
+    p.add_argument(
         "--format",
         dest="source_format",
         choices=("parquet", "warc"),
@@ -86,6 +93,21 @@ def main(argv=None) -> int:
         # so cfg.lang_string reports the languages this run actually
         # accepted (it previously stayed at the default on gated runs).
         **({"languages": langs} if langs else {}),
+        **(
+            {
+                "allowed_content_types": (
+                    None
+                    if args.allow_content_types.strip().lower() == "none"
+                    else tuple(
+                        t.strip().lower()
+                        for t in args.allow_content_types.split(",")
+                        if t.strip()
+                    )
+                )
+            }
+            if args.allow_content_types is not None
+            else {}
+        ),
     )
     spark = session_builder(app="extract-job", master=args.master).getOrCreate()
     from tesseract_ocr_service_spark.introspect import job_banner
