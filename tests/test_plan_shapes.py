@@ -302,3 +302,28 @@ def test_corpus_funnel_dedup_reads_checkpoint_not_parquet(spark):
     plan = _plan(out)
     assert "Scan parquet" not in plan, plan
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
+
+
+def test_content_type_gate_keeps_narrow_plan(spark, pages_path, tmp_path):
+    """The Content-Type gate verdict is one JVM projection expression:
+    with a content_type column present the plan stays scan -> project
+    -> kernel — ZERO exchanges, no BatchEvalPython, and the verdict
+    never widens the scan beyond kernel columns + content_type."""
+    from pyspark.sql import functions as F
+
+    staged = str(tmp_path / "ct_pages")
+    (
+        X.read_pages(spark, pages_path)
+        .withColumn("content_type", F.lit("text/html"))
+        .withColumn("warc_day", F.to_date("warc_ts"))
+        .write.partitionBy("warc_day")
+        .parquet(staged)
+    )
+    plan = _plan(X.extract(X.read_pages(spark, staged)))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "content_type" in scan and "text" not in scan.replace(
+        "content_type", ""
+    )
