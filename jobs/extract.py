@@ -70,7 +70,30 @@ def parse_args(argv):
         " .warc.gz archives read directly (sources/warc.py)",
     )
     p.add_argument("--master", default=None, help="override (local runs)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.allow_content_types is not None:
+        raw = args.allow_content_types.strip()
+        if raw.lower() == "none":
+            args.allow_content_types = "none"
+        else:
+            # normalize tokens with the SAME rule the gate applies to
+            # the data side (parameter-strip + case-fold) — a pasted
+            # real header value like 'text/html; charset=utf-8' must
+            # match, and an empty list (unset env var in a wrapper
+            # script) must error, not silently reject every declared
+            # type.
+            toks = tuple(
+                t.split(";", 1)[0].strip().lower()
+                for t in raw.split(",")
+                if t.split(";", 1)[0].strip()
+            )
+            if not toks:
+                p.error(
+                    "--allow-content-types: empty list (use 'none' to "
+                    "disable the gate)"
+                )
+            args.allow_content_types = ",".join(toks)
+    return args
 
 
 def main(argv=None) -> int:
@@ -97,12 +120,9 @@ def main(argv=None) -> int:
             {
                 "allowed_content_types": (
                     None
-                    if args.allow_content_types.strip().lower() == "none"
-                    else tuple(
-                        t.strip().lower()
-                        for t in args.allow_content_types.split(",")
-                        if t.strip()
-                    )
+                    if args.allow_content_types == "none"
+                    # already normalized + validated by parse_args
+                    else tuple(args.allow_content_types.split(","))
                 )
             }
             if args.allow_content_types is not None

@@ -31,34 +31,77 @@ from ..operators import extract as X
 from ..schema import PAGES_SCHEMA
 
 
+def _first_data_file(spark: SparkSession, root: str) -> Optional[str]:
+    """First non-hidden data file under ``root`` via the Hadoop FS
+    remote iterator — an EARLY-STOP paged listing (first page only),
+    not a full-tree enumeration, so probing a large object-store
+    landing dir costs one LIST page + one footer read, not a second
+    full listing on top of the stream's own. Hidden/marker path
+    SEGMENTS (_temporary leftovers etc.) are skipped, same rule as
+    plans/compact._list_leaf_files. None = nothing landed yet (a
+    missing or empty root is NOT an error here; real FS errors — auth,
+    network — propagate)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        return None
+    base = fs.getFileStatus(path).getPath().toUri().getPath()
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        rel = p.toUri().getPath()[len(base):].lstrip("/")
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue
+        return p.toString()
+    return None
+
+
 def stream_pages(
     spark: SparkSession,
     landing_path: str,
     max_files_per_trigger: Optional[int] = None,
+    schema=None,
 ) -> DataFrame:
     """File-source stream over the landing table. The schema is PROBED
-    from the landed files themselves (one batch listing) rather than
-    pinned to the canonical PAGES_SCHEMA: the batch path reads ALL
-    columns, and the OPTIONAL per-row columns extract() honors —
-    ``content_type`` (the declared-type gate) and ``pages``/
-    ``page_start``/``page_end`` (per-row config) — must survive the
-    streaming path identically, or batch and streaming silently
-    diverge on the same staged data (gate on in one, off in the
-    other). Falls back to PAGES_SCHEMA when nothing has landed yet
-    (a stream needs a schema before its first file exists)."""
-    try:
-        # recursiveFileLookup both here and in the probe: partition
-        # inference stays OFF on both paths, so the probed schema is
-        # exactly the leaf-file schema the stream will decode.
-        probed = (
-            spark.read.option("recursiveFileLookup", "true")
-            .parquet(landing_path)
-            .schema
-        )
-    except Exception:
-        probed = PAGES_SCHEMA
+    from the first landed file's footer rather than pinned to the
+    canonical PAGES_SCHEMA: the batch path reads ALL columns, and the
+    OPTIONAL per-row columns extract() honors — ``content_type`` (the
+    declared-type gate) and ``pages``/``page_start``/``page_end``
+    (per-row config) — must survive the streaming path identically, or
+    batch and streaming silently diverge on the same staged data (gate
+    on in one, off in the other). The landing table is expected
+    schema-uniform (the commit protocol writes uniform files).
+
+    Pass ``schema`` explicitly to skip the probe — REQUIRED for an
+    always-on consumer started BEFORE anything lands: a stream's
+    schema is fixed at start, so the empty-dir fallback (canonical
+    PAGES_SCHEMA, warned loudly) would drop later-landing optional
+    columns for the query's whole lifetime. Probe errors other than
+    missing/empty landing (auth, network, corrupt footer) PROPAGATE —
+    a silent fallback here would reinstate the gate-off divergence and
+    the checkpoint would make the ungated epochs permanent."""
+    if schema is None:
+        probe = _first_data_file(spark, landing_path)
+        if probe is not None:
+            schema = spark.read.parquet(probe).schema
+        else:
+            import warnings
+
+            warnings.warn(
+                f"stream_pages: nothing landed under {landing_path!r} "
+                "yet — falling back to the canonical PAGES_SCHEMA for "
+                "the stream's whole lifetime. Optional per-row columns "
+                "(content_type, pages, page_start, page_end) in files "
+                "landing later will be DROPPED and the Content-Type "
+                "gate stays off until the query restarts; pass "
+                "schema= explicitly for an always-on consumer.",
+                stacklevel=2,
+            )
+            schema = PAGES_SCHEMA
     reader = (
-        spark.readStream.schema(probed)
+        spark.readStream.schema(schema)
         .format("parquet")
         .option("recursiveFileLookup", "true")  # warc_day=... subdirs
     )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -451,3 +453,32 @@ def test_stream_pages_carries_optional_columns(spark, tmp_path):
     assert got_stream == got_batch
     rejected = [u for u, (s, e) in got_batch.items() if e == "invalid_file_type"]
     assert rejected, "planted disallowed types must reject on both paths"
+
+
+def test_stream_pages_empty_landing_warns_and_falls_back(spark, tmp_path):
+    """A stream started before anything lands cannot probe: it pins the
+    canonical PAGES_SCHEMA for its whole lifetime, so the fallback must
+    WARN (later-landing optional columns would be dropped silently
+    otherwise) — and an explicit schema= skips both probe and warning."""
+    import warnings as W
+
+    from tesseract_ocr_service_spark.schema import PAGES_SCHEMA
+
+    empty = str(tmp_path / "nothing_landed")
+    os.makedirs(empty)  # the dir exists (deployed), no files landed yet
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        df = ingest.stream_pages(spark, empty)
+        assert [f.name for f in df.schema.fields] == [
+            f.name for f in PAGES_SCHEMA.fields
+        ]
+    assert any("PAGES_SCHEMA" in str(w.message) for w in caught)
+    # explicit schema: no probe, no warning, schema honored verbatim
+    with W.catch_warnings(record=True) as caught2:
+        W.simplefilter("always")
+        df2 = ingest.stream_pages(spark, empty, schema=PAGES_SCHEMA)
+    assert not caught2
+    # (field-name compare: the stream source normalizes nullability)
+    assert [f.name for f in df2.schema.fields] == [
+        f.name for f in PAGES_SCHEMA.fields
+    ]
