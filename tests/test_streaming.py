@@ -482,3 +482,24 @@ def test_stream_pages_empty_landing_warns_and_falls_back(spark, tmp_path):
     assert [f.name for f in df2.schema.fields] == [
         f.name for f in PAGES_SCHEMA.fields
     ]
+
+
+def test_schema_probe_skips_crashed_write_leftovers(spark, tmp_path):
+    """_first_data_file must not probe a _temporary/... leftover from a
+    crashed write: hidden path SEGMENTS are skipped (same rule as
+    compaction's listing), so the probed schema comes from a real data
+    file even when junk sorts first in the listing."""
+    landing = str(tmp_path / "landing")
+    staged = (
+        gen.generate_pages(spark, 10, seed=9, partitions=1)
+        .withColumn("content_type", F.lit("text/html"))
+        .withColumn("warc_day", F.to_date("warc_ts"))
+    )
+    staged.write.partitionBy("warc_day").parquet(landing)
+    junk = os.path.join(landing, "_temporary", "0", "task_1")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-0000.parquet"), "wb") as f:
+        f.write(b"not parquet at all" * 100)
+    probed = ingest._first_data_file(spark, landing)
+    assert "_temporary" not in probed
+    assert "content_type" in ingest.stream_pages(spark, landing).columns
