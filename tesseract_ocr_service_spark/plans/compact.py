@@ -125,6 +125,16 @@ class CompactionLayout:
     n_files_target: int
 
 
+def hidden_rel_path(rel: str) -> bool:
+    """True when any SEGMENT of the relative path is hidden/marker
+    (leading '_' or '.'): crashed-write leftovers like
+    _temporary/.../part-*.parquet carry plain FILE names under a
+    hidden DIRECTORY, so a file-name-only check misses them. Shared by
+    the compaction listing and streaming.ingest's schema probe — one
+    definition of 'not data'."""
+    return any(s.startswith(("_", ".")) for s in rel.split("/"))
+
+
 def _list_leaf_files(spark: SparkSession, root: str):
     """(dir_relpath, bytes) for every data file under root — one
     recursive listing via the Hadoop FS API (no per-partition calls)."""
@@ -145,9 +155,9 @@ def _list_leaf_files(spark: SparkSession, root: str):
         # inflate bytes_in/k or raise a spurious layout ValueError for
         # data spark.read.parquet will never scan.
         relfile = p.toUri().getPath()[len(base):].strip("/")
-        segs = relfile.split("/")
-        if any(s.startswith("_") or s.startswith(".") for s in segs):
+        if hidden_rel_path(relfile):
             continue  # markers / hidden metadata, not data
+        segs = relfile.split("/")
         rel = "/".join(segs[:-1])
         out.append((rel, int(st.getLen())))
     return out

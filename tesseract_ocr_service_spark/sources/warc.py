@@ -184,10 +184,11 @@ def _http_split(payload: bytes) -> tuple[str | None, bytes]:
         i = payload.find(_CRLF2)
         if i < 0:
             return None, b""
+        ct = None
         m = _CT_RE.search(payload, 0, i)
-        ct = (
-            m.group(1).strip().decode("latin-1") or None if m else None
-        )
+        if m:
+            # empty header value -> None, same as an absent header
+            ct = m.group(1).strip().decode("latin-1") or None
         return ct, payload[i + len(_CRLF2):]
     return None, payload
 
@@ -332,9 +333,8 @@ def _iter_file_chunks(uri: str, chunk: int = 1 << 20) -> Iterator[bytes]:
     a bare path falls back to the local filesystem)."""
     from urllib.parse import unquote, urlparse
 
-    from pyarrow import fs as pafs
-
     import pyarrow as pa
+    from pyarrow import fs as pafs
 
     u = urlparse(uri)
     scheme = u.scheme.lower()

@@ -25,6 +25,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..config import ExtractConfig
 from ..operators import extract as X
@@ -37,10 +38,12 @@ def _first_data_file(spark: SparkSession, root: str) -> Optional[str]:
     not a full-tree enumeration, so probing a large object-store
     landing dir costs one LIST page + one footer read, not a second
     full listing on top of the stream's own. Hidden/marker path
-    SEGMENTS (_temporary leftovers etc.) are skipped, same rule as
-    plans/compact._list_leaf_files. None = nothing landed yet (a
-    missing or empty root is NOT an error here; real FS errors — auth,
-    network — propagate)."""
+    SEGMENTS (_temporary leftovers etc.) are skipped — the SAME
+    predicate as the compaction listing (plans/compact.hidden_rel_path).
+    None = nothing landed yet (a missing or empty root is NOT an error
+    here; real FS errors — auth, network — propagate)."""
+    from ..plans.compact import hidden_rel_path
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     path = jvm.org.apache.hadoop.fs.Path(root)
@@ -52,7 +55,7 @@ def _first_data_file(spark: SparkSession, root: str) -> Optional[str]:
     while it.hasNext():
         p = it.next().getPath()
         rel = p.toUri().getPath()[len(base):].lstrip("/")
-        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+        if hidden_rel_path(rel):
             continue
         return p.toString()
     return None
@@ -62,7 +65,7 @@ def stream_pages(
     spark: SparkSession,
     landing_path: str,
     max_files_per_trigger: Optional[int] = None,
-    schema=None,
+    schema: Optional[StructType] = None,
 ) -> DataFrame:
     """File-source stream over the landing table. The schema is PROBED
     from the first landed file's footer rather than pinned to the
