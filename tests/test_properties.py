@@ -176,3 +176,29 @@ def test_segmenter_recovers_same_tag_nesting_and_unclosed_blocks():
     assert H.segment_blocks("<p>ok</p><script>var x;<p>code</p>") == [
         ("p", "ok")
     ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=4000), min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=512),
+)
+def test_stream_inflate_roundtrips_any_member_split(members, chunk):
+    """Salvage-contract property: for ANY multi-member gzip archive fed
+    in ANY chunking, the stream inflater reproduces the exact
+    concatenated plaintext (untruncated archives lose nothing), and
+    the whole-buffer wrapper agrees byte-for-byte — member boundaries
+    may fall anywhere inside a chunk."""
+    import gzip
+
+    from tesseract_ocr_service_spark.sources import warc as W
+
+    blob = b"".join(gzip.compress(m) for m in members)
+    want = b"".join(members)
+
+    def chunks():
+        for i in range(0, len(blob), chunk):
+            yield blob[i : i + chunk]
+
+    assert b"".join(W._iter_inflated_stream(chunks())) == want
+    assert b"".join(W._iter_inflated(blob, chunk=chunk)) == want
