@@ -464,9 +464,11 @@ def read_warc_chunked(spark: SparkSession, path: str) -> DataFrame:
 # test-fixture side: build spec-valid archives so the reader is tested
 # against real WARC framing, not a private mirror of the parser.
 
-def _warc_record(url: str, ts: datetime, body: bytes) -> bytes:
+def _warc_record(
+    url: str, ts: datetime, body: bytes, ctype: str = "text/html"
+) -> bytes:
     http = (
-        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype.encode() + b"\r\n"
         b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
     )
     head = (
@@ -486,21 +488,22 @@ def write_warc(
     records: list[tuple[str, datetime, bytes]],
     per_record_gzip: bool = True,
 ) -> None:
-    """Write a ``.warc.gz`` archive: (url, ts, body) records, each its
-    own gzip member by default (the CC layout); single-member otherwise
-    (both MUST read back identically — pinned by test)."""
+    """Write a ``.warc.gz`` archive: (url, ts, body[, content_type])
+    records, each its own gzip member by default (the CC layout);
+    single-member otherwise (both MUST read back identically — pinned
+    by test)."""
     leading = _warc_record_info()
     if per_record_gzip:
         out = gzip.compress(leading)
-        for url, ts, body in records:
-            out += gzip.compress(_warc_record(url, ts, body))
+        for url, ts, body, *ct in records:
+            out += gzip.compress(_warc_record(url, ts, body, *ct))
         with open(path, "wb") as f:
             f.write(out)
     else:
         with gzip.open(path, "wb") as f:
             f.write(leading)
-            for url, ts, body in records:
-                f.write(_warc_record(url, ts, body))
+            for url, ts, body, *ct in records:
+                f.write(_warc_record(url, ts, body, *ct))
 
 
 def _warc_record_info() -> bytes:

@@ -401,3 +401,36 @@ def test_warc_reader_surfaces_content_type(spark, tmp_path):
     W.write_warc(str(tmp_path / "a.warc.gz"), _records(3))
     rows = W.read_warc(spark, str(tmp_path)).select("content_type").collect()
     assert [r[0] for r in rows] == ["text/html"] * 3
+
+
+def test_warc_to_extract_gates_declared_type_end_to_end(spark, tmp_path):
+    """Full composition: a crawl archive whose HTTP head declares a
+    disallowed type (image/png) must come out of read_warc -> extract
+    as status='rejected' error='invalid_file_type' — even though the
+    body bytes are perfectly valid HTML — while sibling records (html
+    declared, and one with per-row page config alongside) extract
+    normally. Pins the reference's validate-BEFORE-read order
+    (ocr/main.py:354-363) through the whole WARC path, and that the
+    gate verdict coexists with the per-row config columns."""
+    from pyspark.sql import functions as F
+
+    body = b"<html><body><p>three word block here now</p></body></html>"
+    ts = datetime(2026, 2, 1)
+    W.write_warc(
+        str(tmp_path / "a.warc.gz"),
+        [
+            ("https://ok.example/a", ts, body),  # default text/html
+            ("https://png.example/b", ts, body, "image/png"),
+            ("https://oct.example/c", ts, body, "application/octet-stream"),
+        ],
+    )
+    pages = W.read_warc(spark, str(tmp_path)).withColumn(
+        "page_start", F.lit(1)
+    )  # per-row config column rides alongside the gate verdict
+    got = {
+        r["url"]: (r["status"], r["error"])
+        for r in X.extract(pages).select("url", "status", "error").collect()
+    }
+    assert got["https://png.example/b"] == ("rejected", "invalid_file_type")
+    assert got["https://ok.example/a"][0] == "ok"
+    assert got["https://oct.example/c"][0] == "ok"
