@@ -93,6 +93,27 @@ def time_queries(spark, names: list[str]) -> dict:
     return out
 
 
+def hash_queries(spark, names: list[str]) -> dict:
+    """Order-insensitive full-content fingerprint per query:
+    (row count, XOR of xxhash64(to_json(struct(*)))) — any bit-level
+    change in any value (incl. double formatting) changes the hash.
+    Used to prove optimizations result-identical at sf1.0, which is
+    stricter than the driver's 4dp-rounded oracle compare."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    qs = em.queries()
+    out: dict[str, dict] = {}
+    for name in names:
+        df = qs[name](spark, SF_DIR)
+        r = df.select(
+            F.xxhash64(F.to_json(F.struct(*df.columns))).alias("h")
+        ).agg(F.count("*").alias("n"), F.bit_xor("h").alias("x")).collect()[0]
+        out[name] = {"n": int(r["n"] or 0), "xor": int(r["x"] or 0)}
+        print(json.dumps({name: out[name]}), flush=True)
+    return out
+
+
 def dump_plans(spark, names: list[str], tag: str) -> None:
     import __spark_entry__ as em
 
@@ -127,6 +148,19 @@ def main() -> None:
 
     spark = _session()
     try:
+        if mode == "hash":
+            res = hash_queries(spark, names)
+            out = os.environ.get(
+                "BENCH_EXTRA_OUT", f"{REPO}/BENCH/hashes_r06_{tag}.json"
+            )
+            prev = {}
+            if os.path.exists(out):
+                with open(out) as f:
+                    prev = json.load(f).get("queries", {})
+            prev.update(res)
+            with open(out, "w") as f:
+                json.dump({"sf_dir": SF_DIR, "queries": prev}, f, indent=1)
+            print(f"wrote {out}", flush=True)
         if mode in ("plan", "both"):
             dump_plans(spark, names, tag)
         if mode in ("time", "both"):

@@ -77,6 +77,99 @@ def norm(a) -> Column:
     )
 
 
+# --- exact-fold-order numpy verify ------------------------------------
+# The interpreted aggregate/zip_with fold costs ~100 us of interpreter
+# overhead PER PAIR (ArrayAggregate/ZipWith are CodegenFallback; an
+# unrolled a[0]*b[0]+... Add chain was tried and is WORSE — ~2x the
+# fold — because the generated method blows past the JVM's
+# 8000-bytecode JIT limit and the whole stage runs in the bytecode
+# interpreter; measured in OPTIMIZATION_r06.md). The pair/cluster
+# verify stages evaluate candidate-pairs >> N dot products, which made
+# semantic_dedup (26 s) and embedding_neardups (13 s) the two most
+# expensive vector queries at sf1.0.
+#
+# The fix follows guide §4.2/§8: ship each VECTOR once into an Arrow
+# batch per cluster/bucket (tiny — ids + vectors, never per-pair), and
+# compute the pairwise cosines in numpy with the EXACT summation order
+# of the interpreted fold: acc starts at 0.0 and adds index-ascending
+# products, one strict IEEE multiply + add pass per dimension — no
+# BLAS blocking, no FMA, no pairwise summation. numpy's elementwise
+# multiply/add/divide/sqrt are the same correctly-rounded binary64
+# operations the JVM executes, so every cosine is BIT-IDENTICAL to the
+# old expression plan (verified by full-output hash equality at
+# sf0.001/0.01/0.1/1.0) and the frozen DuckDB oracles are untouched.
+
+
+def _round4_spark(x: float) -> float:
+    """Spark's round(double, 4) replicated exactly: NaN/±Inf pass
+    through (Spark's Round guards them); otherwise the value's SHORTEST
+    round-trip decimal (Java BigDecimal.valueOf == Double.toString ==
+    Python repr) is quantized HALF_UP at 4 decimals and converted back
+    to double (both conversions correctly rounded)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _round4_ge_boundary(t: float) -> float:
+    """Smallest double x with _round4_spark(x) >= t (requires t > 0):
+    lets the vectorized verify replace `round(cos, 4) >= t` with ONE
+    float compare (cos >= boundary) — exactly, because _round4_spark
+    is monotone non-decreasing over doubles (shortest-repr preserves
+    order; HALF_UP quantization is monotone)."""
+    import struct
+
+    if not t > 0:
+        raise ValueError("round-boundary derivation assumes t > 0")
+
+    def f2i(v: float) -> int:
+        return struct.unpack("<q", struct.pack("<d", v))[0]
+
+    def i2f(i: int) -> float:
+        return struct.unpack("<d", struct.pack("<q", i))[0]
+
+    lo, hi = f2i(max(t - 0.001, 0.0)), f2i(t + 0.001)
+    assert _round4_spark(i2f(lo)) < t <= _round4_spark(i2f(hi))
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if _round4_spark(i2f(mid)) >= t:
+            hi = mid
+        else:
+            lo = mid + 1
+    return i2f(lo)
+
+
+def _fold_order_dots(A, B):
+    """Pairwise dot products between the rows of A (m x d) and B (n x d)
+    with the exact per-pair summation order of :func:`dot` (see the
+    note above) -> (m x n) float64."""
+    import numpy as np
+
+    G = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    tmp = np.empty_like(G)
+    for i in range(A.shape[1]):
+        np.multiply(A[:, i][:, None], B[:, i][None, :], out=tmp)
+        np.add(G, tmp, out=G)
+    return G
+
+
+def _fold_order_norms(V):
+    """Row L2 norms of V (m x d) with the exact op sequence of
+    :func:`norm` (left fold of x*x from 0.0, then sqrt)."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype=np.float64)
+    for i in range(V.shape[1]):
+        x = V[:, i]
+        acc += x * x
+    return np.sqrt(acc)
+
+
 def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -433,32 +526,75 @@ def semantic_dedup(
             norm(v).alias("nrm"),
         )
     assigned = _truncate_lineage(raw)
-    cand = (
-        assigned
-        if max_cluster is None
-        else cap_buckets(
-            assigned, ["list_id"], max_cluster, "semantic_dedup"
+    if max_cluster is not None:
+        # Capped clusters (the default / declared-query path): the
+        # within-cluster pair verify runs as ONE Arrow group per
+        # cluster with exact-fold-order numpy cosines (see the note at
+        # _fold_order_dots) — each vector ships once per cluster
+        # instead of once per candidate pair, and the m^2 cosines run
+        # at vectorized speed instead of ~100 us of fold-interpreter
+        # overhead per pair (26.1 s -> 3.5 s at sf1.0, hash-identical
+        # output). cap_buckets' window shuffles on list_id, which is
+        # exactly the grouping key — one exchange total.
+        cand = cap_buckets(assigned, ["list_id"], max_cluster, "semantic_dedup")
+        bound = _round4_ge_boundary(threshold)
+        id_ddl = df.schema[id_col].dataType.simpleString()
+
+        def _cluster_dropped(pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf) < 2:
+                return pd.DataFrame({"id": pdf["id"].iloc[:0]})
+            pdf = pdf.sort_values("id", kind="stable")
+            V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            m = len(pdf)
+            dropped = np.zeros(m, dtype=bool)
+            blk = 1024  # bound peak memory at m x blk doubles
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for j0 in range(1, m, blk):
+                    j1 = min(j0 + blk, m)
+                    G = _fold_order_dots(V[:j1], V[j0:j1])
+                    C = G / np.multiply.outer(nrm[:j1], nrm[j0:j1])
+                    tri = (
+                        np.arange(j1)[:, None]
+                        < np.arange(j0, j1)[None, :]
+                    )
+                    dropped[j0:j1] |= ((C >= bound) & tri).any(axis=0)
+            return pd.DataFrame({"id": pdf["id"].to_numpy()[dropped]})
+
+        # ids are unique per cluster and clusters partition ids, so the
+        # emitted drop list is duplicate-free by construction (the old
+        # self-join needed a distinct here).
+        dropped = (
+            cand.groupBy("list_id")
+            .applyInPandas(_cluster_dropped, schema=f"id {id_ddl}")
+            .withColumn("_drop", F.lit(1))
         )
-    )
-    a, b = cand.alias("a"), cand.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.list_id") == F.col("b.list_id"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .where(
-            F.round(
-                dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                4,
+    else:
+        # Uncapped: cluster size is unbounded, so keep the distributed
+        # self-join shape (a single giant cluster must spread across
+        # tasks, not land in one Arrow group).
+        a, b = assigned.alias("a"), assigned.alias("b")
+        dropped = (
+            a.join(
+                b,
+                (F.col("a.list_id") == F.col("b.list_id"))
+                & (F.col("a.id") < F.col("b.id")),
             )
-            >= threshold
+            .where(
+                F.round(
+                    dot(F.col("a.v"), F.col("b.v"))
+                    / (F.col("a.nrm") * F.col("b.nrm")),
+                    4,
+                )
+                >= threshold
+            )
+            .select(F.col("b.id").alias("id"))
+            .distinct()
+            .withColumn("_drop", F.lit(1))
         )
-        .select(F.col("b.id").alias("id"))
-        .distinct()
-        .withColumn("_drop", F.lit(1))
-    )
     # project BEFORE the join: `dropped` can exceed the broadcast
     # threshold on dup-heavy corpora, and a sort-merge join would then
     # shuffle every row's full embedding payload by id just to discard
@@ -718,6 +854,19 @@ def embedding_neardup_pairs(
         n_planes = auto_n_planes(df.count())
     planes = hyperplane_signs(bands * n_planes, dim, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Grouped verify pays one Arrow-group overhead PER (band, bucket):
+    # a win when buckets are fat (few big gram matrices), a loss when
+    # the bucket space is large and buckets hold a handful of vectors
+    # (measured: 6 planes/20k vecs 13.4 s -> 3.3 s, but auto-sized 12
+    # planes/20k vecs 6.5 s -> 7.6 s). n_planes <= 8 (bucket space
+    # <= 256 per band) keeps it to the fat-bucket regime; auto-sized
+    # indexes target ~8 vectors/bucket and keep the explode shape.
+    grouped_verify = (
+        banding == "expr"
+        and max_bucket is not None
+        and max_bucket <= 1024
+        and n_planes <= 8
+    )
     if banding == "batched":
         banded = lsh_buckets_batched(base, planes, bands)
     else:
@@ -727,13 +876,73 @@ def embedding_neardup_pairs(
                 for b in range(bands)
             ]
         )
+        # the grouped verify needs the vector INSIDE each (band, bucket)
+        # group — carry v through the fan-out (each vector ships `bands`
+        # times: tiny vs joining full vectors onto every candidate pair)
+        carry = ["id", "v"] if grouped_verify else ["id"]
         banded = base.select(
-            "id", F.posexplode(band_buckets).alias("band", "bucket")
+            *carry, F.posexplode(band_buckets).alias("band", "bucket")
         ).where(F.col("bucket").isNotNull())
     if max_bucket is not None:
         banded = _dedup.cap_buckets(
             banded, ["band", "bucket"], max_bucket,
             "embedding_neardup_pairs", log_drops,
+        )
+    if grouped_verify:
+        # Exact-fold-order numpy verify, one Arrow group per
+        # (band, bucket) (see _fold_order_dots): candidate enumeration
+        # AND cosine verification fuse into one pass at vectorized
+        # speed — no bucket collect_list, no id-pair explode, no
+        # vector join-backs, no ~100 us/pair fold interpretation
+        # (13.4 s -> 2.9 s at sf1.0, hash-identical output). A pair
+        # sharing several buckets is verified once per bucket with an
+        # identical sim; the trailing distinct collapses the copies
+        # (the old shape deduped candidates before its single verify).
+        bound = _round4_ge_boundary(threshold)
+        id_ddl = df.schema[id_col].dataType.simpleString()
+
+        def _bucket_pairs(pdf):
+            import numpy as np
+            import pandas as pd
+
+            if len(pdf) < 2:
+                empty = pdf["id"].iloc[:0]
+                return pd.DataFrame(
+                    {
+                        "id_a": empty,
+                        "id_b": empty,
+                        "sim": pd.Series([], dtype="float64"),
+                    }
+                )
+            pdf = pdf.sort_values("id", kind="stable")
+            V = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            nrm = _fold_order_norms(V)
+            G = _fold_order_dots(V, V)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = G / np.multiply.outer(nrm, nrm)
+            iu = np.triu_indices(len(pdf), k=1)
+            cvals = C[iu]
+            keep = cvals >= bound
+            ids = pdf["id"].to_numpy()
+            sims = np.fromiter(
+                (_round4_spark(x) for x in cvals[keep]),
+                dtype=np.float64,
+                count=int(keep.sum()),
+            )
+            return pd.DataFrame(
+                {
+                    "id_a": ids[iu[0][keep]],
+                    "id_b": ids[iu[1][keep]],
+                    "sim": sims,
+                }
+            )
+
+        return (
+            banded.groupBy("band", "bucket")
+            .applyInPandas(
+                _bucket_pairs, schema=f"id_a {id_ddl}, id_b {id_ddl}, sim double"
+            )
+            .distinct()
         )
     # Pair enumeration shape depends on the bucket bound (CLAUDE.md
     # rule): the ONE-aggregation collect_list + id-pair fan-out scans

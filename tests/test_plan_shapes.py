@@ -131,7 +131,10 @@ def test_lsh_pair_plans_scan_upstream_minimally(spark):
         _scans(D.simhash_pairs_multi_index(docs), "documents.parquet") == 1
     )
     assert _scans(D.ngram_jaccard_pairs(docs), "documents.parquet") == 4
-    assert _scans(S.embedding_neardup_pairs(embs), "embeddings.parquet") == 3
+    # round 6: the fat-bucket path fuses candidate enumeration and the
+    # exact-fold-order numpy verify into ONE grouped pass — vectors ride
+    # the band fan-out, so the two vector join-backs are gone: 1 scan.
+    assert _scans(S.embedding_neardup_pairs(embs), "embeddings.parquet") == 1
     # minhash_dedup_pairs with no sigs supplied: the signature table is
     # eagerly lineage-truncated at construction, so the pair plan's
     # three signature consumers (banding + both verify sides) read the
