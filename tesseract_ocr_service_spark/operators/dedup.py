@@ -248,13 +248,14 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    hot_shingle_cap: int = 1000,
+    hot_shingle_cap: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Plan: explode distinct shingles -> drop shingles hotter than
-    `hot_shingle_cap` docs (quadratic-blowup guard) -> self-join on the
-    shingle -> per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.
+    `hot_shingle_cap` docs (quadratic-blowup guard; None = exact mode,
+    no filter — takes a cheaper plan shape, see below) -> self-join on
+    the shingle -> per-pair intersection count -> |A∪B| = |A|+|B|-|A∩B|.
     -> (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded 4.
 
     The hot-shingle drop is a window count over the shingle (one pass,
@@ -264,24 +265,88 @@ def ngram_jaccard_pairs(
     shingles are non-null by construction (token concat), so the
     window form drops exactly what the anti-join did.
     """
-    sh = shingle_rows(df, id_col, text_col, n, distinct=True)
-    # sizes over the SAME filtered shingle space as the intersections —
-    # mixing unfiltered |A| with filtered |A∩B| would systematically
-    # underestimate jaccard whenever the cap is active. The size is a
-    # second window count CARRIED THROUGH the self-join (constant per
-    # id, so first() per pair recovers it) rather than a separate
-    # sizes table joined twice: the shingle pipeline (tokenize +
-    # explode + lead-window) is the expensive stage, and each extra
-    # consumer re-evaluates it.
-    cool = (
-        sh.withColumn(
-            "_df",
-            F.count("*").over(Window.partitionBy("shingle")),
+    if hot_shingle_cap is None:
+        # EXACT mode (the oracle-checked query): no hot-shingle filter,
+        # so the `_df <= cap` window would be a tautology — skip it
+        # (2 exchanges + sorts of the full shingle stream, per join
+        # side) and fuse the (id, shingle) distinct + per-doc size into
+        # ONE collect_set aggregate keyed on id, which rides the id
+        # partitioning shingle_rows' lead-window already established
+        # (the dropDuplicates + size-window form paid two more
+        # exchanges because the short-doc union branch breaks the
+        # window's partitioning). The result is then EAGERLY
+        # lineage-truncated: the self-join consumes it twice, and with
+        # no ReusedExchange under AQE each lazy consumer re-ran the
+        # whole tokenize+explode+lead pipeline (CLAUDE.md rule) — the
+        # checkpoint also gives the planner REAL size stats, which
+        # stops AQE broadcast-hashing a multi-million-row shingle
+        # table (observed at sf1.0: the whole 2.6M-row side was
+        # broadcast on string-column size estimates).
+        # Checkpoint the per-doc shingle SETS (50k compact array rows),
+        # explode per consumer: the self-join sides then carry ONLY
+        # (id, shingle) — the per-doc size does NOT ride the
+        # candidate fan-out (16 fewer bytes on every one of the ~127M
+        # candidate rows at sf1.0) and is instead broadcast-joined onto
+        # the aggregated pair table from the same checkpoint.
+        sh = shingle_rows(df, id_col, text_col, n, distinct=False)
+        per_doc = _truncate_lineage(
+            sh.groupBy("id").agg(F.collect_set("shingle").alias("_ss"))
         )
-        .where(F.col("_df") <= hot_shingle_cap)
-        .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
-        .select("id", "shingle", "sz")
-    )
+        sizes = per_doc.select(
+            "id", F.size("_ss").cast("bigint").alias("sz")
+        )
+        rows = per_doc.select("id", F.explode("_ss").alias("shingle"))
+        a, b = rows.alias("a"), rows.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .agg(F.count("*").alias("inter"))
+        )
+        sa = F.broadcast(
+            sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+        )
+        sb = F.broadcast(
+            sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+        )
+        return (
+            pairs.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                    4,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    else:
+        sh = shingle_rows(df, id_col, text_col, n, distinct=True)
+        # sizes over the SAME filtered shingle space as the
+        # intersections — mixing unfiltered |A| with filtered |A∩B|
+        # would systematically underestimate jaccard whenever the cap
+        # is active. The size is a second window count CARRIED THROUGH
+        # the self-join (constant per id, so first() per pair recovers
+        # it) rather than a separate sizes table joined twice: the
+        # shingle pipeline (tokenize + explode + lead-window) is the
+        # expensive stage, and each extra consumer re-evaluates it.
+        cool = (
+            sh.withColumn(
+                "_df",
+                F.count("*").over(Window.partitionBy("shingle")),
+            )
+            .where(F.col("_df") <= hot_shingle_cap)
+            .withColumn("sz", F.count("*").over(Window.partitionBy("id")))
+            .select("id", "shingle", "sz")
+        )
     a = cool.alias("a")
     b = cool.alias("b")
     return (

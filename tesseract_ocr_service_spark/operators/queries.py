@@ -52,7 +52,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
         _docs(spark, sf_dir),
         threshold=JACCARD_T,
-        hot_shingle_cap=10**9,  # exact mode for the oracle comparison
+        hot_shingle_cap=None,  # exact mode for the oracle comparison
     )
 
 
