@@ -29,6 +29,16 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     unescapes back, so extracted tokens == original tokens. url carries
     doc_id so results join back losslessly.
     """
+    # The driver's documents table is ONE parquet file -> one scan
+    # partition -> the kernel's mapInPandas ran in a SINGLE task
+    # (measured: the whole extraction pipeline serialized on one core
+    # at sf1.0). Spread the rows across the cluster with a
+    # deterministic hash repartition (guide §2.5: never rand/round-
+    # robin — task retries must reproduce the same assignment) sized
+    # from the session's parallelism, BEFORE the payload bytes are
+    # built, so the shuffle moves only the small source rows.
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    docs = docs.repartition(par, F.xxhash64("doc_id"))
     escaped = F.replace(
         F.replace(
             F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),

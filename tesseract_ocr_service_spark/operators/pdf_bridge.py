@@ -119,9 +119,19 @@ def _builder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def pdf_pages_from_documents(docs: DataFrame) -> DataFrame:
     """documents -> pages-shaped kernel input carrying %PDF payloads
     (Arrow-batched fixture synthesis — a test bridge, not a claimed
-    operator; the operator under test is the kernel downstream)."""
-    return docs.select("doc_id", "text").mapInPandas(
-        _builder, schema=PAGES_SCHEMA
+    operator; the operator under test is the kernel downstream).
+
+    The deterministic hash repartition mirrors bridge.pages_from_
+    documents: the single-file documents table otherwise funnels the
+    builder AND the downstream kernel into ONE task (both mapInPandas
+    stages chain inside the same stage), serializing the whole pdf
+    path on one core — measured 6.5 s builder / 33 s spans pipeline at
+    sf1.0 before, against ~0.6 s of actual parallel python work."""
+    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    return (
+        docs.select("doc_id", "text")
+        .repartition(par, F.xxhash64("doc_id"))
+        .mapInPandas(_builder, schema=PAGES_SCHEMA)
     )
 
 
