@@ -33,6 +33,29 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _par(df: DataFrame, key: str) -> DataFrame:
+    """Spread a SINGLE-row-group driver table across the cluster. The
+    driver's parquet tables are one file with one row group, so every
+    scan is ONE split and all per-row work before the first exchange
+    (tokenize/explode/regex/vector math) ran on ONE core — measured
+    9.1 s for gopher_filter's single-task signal stage at sf1.0 vs
+    0.9 s spread. A deterministic hash repartition (guide §2.5: never
+    rand/round-robin — retried tasks must reproduce the assignment)
+    costs one exchange of the few-MB source rows. Only the queries with
+    substantial per-row work use this; trivial projections keep the
+    exchange-free single-task plan."""
+    p = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(p, F.xxhash64(key))
+
+
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _par(_docs(spark, sf_dir), "doc_id")
+
+
+def _emb_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _par(_emb(spark, sf_dir), "vec_id")
+
+
 def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return list(
         _emb(spark, sf_dir).where(F.col("vec_id") == 0).collect()[0]["embedding"]
@@ -57,7 +80,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def dedup_minhash_sig(spark, sf_dir):
-    sigs = D.minhash_signatures_agg(_docs(spark, sf_dir), k=16, n=3)
+    sigs = D.minhash_signatures_agg(_docs_par(spark, sf_dir), k=16, n=3)
     return sigs.select(
         F.col("id").alias("doc_id"),
         F.md5(F.array_join("sig", "|")).alias("sig_digest"),
@@ -66,7 +89,7 @@ def dedup_minhash_sig(spark, sf_dir):
 
 def text_quality(spark, sf_dir):
     c = F.col("text")
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id",
         *T.quality_features(c),
         T.quality_score(c).alias("quality"),
@@ -80,20 +103,39 @@ def token_counts_bpe(spark, sf_dir):
 
 
 def text_fingerprints(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id", T.fingerprint_md5(F.col("text")).alias("fp")
     )
 
 
 def lang_id_q(spark, sf_dir):
-    return _docs(spark, sf_dir).select(
-        "doc_id", T.lang_id(F.col("text")).alias("lang_guess")
+    """Script counts materialized as columns BEFORE the decision chain:
+    inlined, each count expression appears twice in lang_id's when-
+    chain and Catalyst evaluates every reference (no CSE across the
+    branches — CLAUDE.md rule), so each row paid 6 regex passes instead
+    of 3. The layered projection survives optimization because
+    CollapseProject refuses to inline non-cheap multiply-referenced
+    producer expressions. Same values as textstats.lang_id."""
+    docs = _docs(spark, sf_dir)
+    counts = docs.select(
+        "doc_id",
+        T._script_count(F.col("text"), T._SCRIPTS["cyrillic"]).alias("_cyr"),
+        T._script_count(F.col("text"), T._SCRIPTS["cjk"]).alias("_cjk"),
+        T._script_count(F.col("text"), T._SCRIPTS["latin"]).alias("_lat"),
     )
+    cyr, cjk, lat = F.col("_cyr"), F.col("_cjk"), F.col("_lat")
+    guess = (
+        F.when((cyr >= cjk) & (cyr >= lat) & (cyr > 0), "ru")
+        .when((cjk >= lat) & (cjk > 0), "zh")
+        .when(lat > 0, "latin")
+        .otherwise("unknown")
+    )
+    return counts.select("doc_id", guess.alias("lang_guess"))
 
 
 def quality_filter(spark, sf_dir):
     """C4/Gopher-style document filter: per-doc keep/drop verdict."""
-    return _docs(spark, sf_dir).select(
+    return _docs_par(spark, sf_dir).select(
         "doc_id", T.quality_keep(F.col("text")).alias("keep")
     )
 
@@ -114,7 +156,7 @@ def tfidf_top_terms(spark, sf_dir):
     """
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     n_docs = docs.count()  # driver scalar, matches the oracle's count(*)
     toks = docs.select(
         "doc_id",
@@ -174,7 +216,7 @@ def repetition_stats(spark, sf_dir):
     bigram stats reuse the codegen'd shingle_rows(n=2) shape — one
     explode + two hash aggregates, map-side combined.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     toks = T.tokens(T.normalized(F.coalesce(F.col("text"), F.lit(""))))
     w = docs.select(
         "doc_id",
@@ -260,7 +302,7 @@ def simhash_fingerprints(spark, sf_dir):
     """md5-hash variants of simhash + winnowing fingerprint — identical
     bit patterns reproducible in DuckDB (the xxhash64 variants are the
     production default; the algorithm under test is the same)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sh = D.simhash_table(docs, hash_fn="md5_60").withColumnRenamed(
         "id", "doc_id"
     )
@@ -276,7 +318,7 @@ def simhash_neardup_pairs(spark, sf_dir):
     the md5-60 oracle-reproducible form. max_bucket=None: the oracle
     models no cap, and exactness (the point under test) requires it."""
     return D.simhash_pairs_multi_index(
-        _docs(spark, sf_dir), hash_fn="md5_60", max_bucket=None
+        _docs_par(spark, sf_dir), hash_fn="md5_60", max_bucket=None
     )
 
 
@@ -287,7 +329,7 @@ def pii_redaction(spark, sf_dir):
     then textstats.redact_pii replaces each with a typed placeholder.
     Chained JVM regexp_replace; DuckDB replays the identical plant +
     RE2-compatible patterns."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     planted = F.concat_ws(
         " ",
         F.coalesce(F.col("text"), F.lit("")),
@@ -365,7 +407,7 @@ def contamination_ngrams(spark, sf_dir):
     against a synthetic eval set (doc_id % 17 == 0) by shared distinct
     8-grams. Planted near-dup clusters make the signal non-trivial —
     corpus docs that are templates/dups of eval docs light up."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     corpus = docs.where(F.col("doc_id") % DECONTAM_MOD != 0)
     bench = docs.where(F.col("doc_id") % DECONTAM_MOD == 0)
     return D.contamination_hits(
@@ -411,7 +453,7 @@ NEARDUP_BANDS = 4
 def embedding_neardups(spark, sf_dir):
     """Multi-band LSH-bucketed near-dup pairs, exact-cosine verified."""
     return S.embedding_neardup_pairs(
-        _emb(spark, sf_dir),
+        _emb_par(spark, sf_dir),
         threshold=NEARDUP_T,
         n_planes=NEARDUP_PLANES,
         bands=NEARDUP_BANDS,
@@ -429,7 +471,7 @@ def embedding_neardups_auto(spark, sf_dir):
     path is oracle-exact, not just benched; the growing branch of the
     sizing rule is measured in bench_scale's plane sweep."""
     return S.embedding_neardup_pairs(
-        _emb(spark, sf_dir),
+        _emb_par(spark, sf_dir),
         threshold=NEARDUP_T,
         n_planes="auto",
         bands=NEARDUP_BANDS,
@@ -519,7 +561,7 @@ def ann_ivf_topk(spark, sf_dir):
     import hashlib
     import os
 
-    emb = _emb(spark, sf_dir)
+    emb = _emb_par(spark, sf_dir)
     cents = S.ivf_centroids(emb, n_lists=IVF_LISTS, iterations=0)
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     h = hashlib.sha256(src.encode())
@@ -545,7 +587,7 @@ def ann_ivf_topk(spark, sf_dir):
 def image_features_fake(spark, sf_dir):
     """Multimodal plumbing demo: documents bytes as fake image payloads
     through the Arrow-batched feature stage (rows-only check)."""
-    media = _docs(spark, sf_dir).select(
+    media = _docs_par(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("asset_id"),
         F.lit("image").alias("kind"),
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(
@@ -562,7 +604,7 @@ def audio_features_fake(spark, sf_dir):
     """Multimodal audio plumbing: documents bytes as fake audio payloads
     through the Arrow-batched audio feature stage; every projected field
     is a pure function of the content sha256, so DuckDB replays it."""
-    media = _docs(spark, sf_dir).select(
+    media = _docs_par(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("asset_id"),
         F.lit("audio").alias("kind"),
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(
@@ -1216,7 +1258,7 @@ def dedup_spans_removed(spark, sf_dir):
     surviving tokens. The synthetic corpus's exact-dup groups and
     planted near-dup templates give the grams real repeats."""
     return D.dedup_spans(
-        _docs(spark, sf_dir), k=SPAN_K, min_df=2
+        _docs_par(spark, sf_dir), k=SPAN_K, min_df=2
     ).withColumnRenamed("id", "doc_id")
 
 
@@ -1378,7 +1420,7 @@ def url_host_filter(spark, sf_dir):
     long query / blocklisted host / tracking params (canonicalizes
     clean — must be kept), so every rule fires deterministically and a
     hash match proves real routing (CLAUDE.md planted-data rule)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     s = (F.col("doc_id") % 5).cast("string")
     p = (F.col("doc_id") % 100).cast("string")
     v = F.col("doc_id") % 6
@@ -1526,7 +1568,7 @@ def gopher_filter(spark, sf_dir):
     planted text is the SAME SQL expression Spark and DuckDB evaluate,
     so the value hash proves identical rule arithmetic end to end.
     Production form over real text: textstats.gopher_keep."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_par(spark, sf_dir).select(
         "doc_id", F.expr(_GOPHER_TEXT_SQL).alias("text")
     )
     s = T.gopher_signals(F.col("text"))
@@ -1945,7 +1987,7 @@ def semantic_dedup_keep(spark, sf_dir):
     """SemDeDup over the embeddings table: deterministic seed codebook
     (same id%7 rule the IVF oracle rebuilds), within-cluster cosine >=
     SEM_T drops all but the lowest-id member of each duplicate group."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb_par(spark, sf_dir)
     cents = S.ivf_centroids(emb, n_lists=SEM_K, iterations=0)
     return S.semantic_dedup(emb, cents, threshold=SEM_T)
 
@@ -2003,7 +2045,7 @@ def dsir_select(spark, sf_dir):
     from . import dsir as DS
 
     return DS.dsir_importance(
-        _docs(spark, sf_dir),
+        _docs_par(spark, sf_dir),
         target=F.col("lang") == "en",
         n_buckets=DSIR_BUCKETS,
         keep_frac=0.5,
@@ -2025,7 +2067,7 @@ def quality_linear_score(spark, sf_dir):
         ((F.col("id") * F.lit(2654435761)) % 2001 - 1000).alias("w_micro"),
     )
     return DS.hashed_linear_score(
-        _docs(spark, sf_dir),
+        _docs_par(spark, sf_dir),
         weights=spark_b,
         n_buckets=DSIR_BUCKETS,
         hash_mode="md5",
@@ -2038,7 +2080,7 @@ def perplexity_filter_q(spark, sf_dir):
     from . import dsir as DS
 
     return DS.perplexity_filter(
-        _docs(spark, sf_dir),
+        _docs_par(spark, sf_dir),
         n_buckets=DSIR_BUCKETS,
         keep_frac=0.5,
         hash_mode="md5",
