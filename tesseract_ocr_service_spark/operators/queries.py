@@ -73,7 +73,7 @@ def dedup_exact_groups(spark, sf_dir):
 
 def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
-        _docs(spark, sf_dir),
+        _docs_par(spark, sf_dir),
         threshold=JACCARD_T,
         hot_shingle_cap=None,  # exact mode for the oracle comparison
     )
@@ -482,7 +482,7 @@ def embedding_neardups_auto(spark, sf_dir):
 def dedup_corpus_kept(spark, sf_dir):
     """Composed exact+minhash-LSH dedup pipeline — surviving doc ids.
     The whole chain is md5-based, so DuckDB replays it end to end."""
-    kept = D.dedup_corpus(_docs(spark, sf_dir), threshold=0.7)
+    kept = D.dedup_corpus(_docs_par(spark, sf_dir), threshold=0.7)
     return kept.select("doc_id")
 
 
@@ -495,7 +495,7 @@ def dedup_incremental_kept(spark, sf_dir):
     two must be EQUAL under monotone ids (operators/incremental.py)."""
     from . import incremental as I
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
     k1, s1 = I.dedup_incremental(
         docs.where(F.col("doc_id") <= mid), persist=False
@@ -510,7 +510,7 @@ def neardup_components(spark, sf_dir):
     """Near-dup CLUSTERS: connected components (iterative min-label
     propagation) over the minhash-LSH pair graph; oracle = DuckDB
     recursive-CTE transitive closure over the same md5 chain."""
-    return D.neardup_components(_docs(spark, sf_dir), threshold=0.7)
+    return D.neardup_components(_docs_par(spark, sf_dir), threshold=0.7)
 
 
 def neardup_components_star(spark, sf_dir):
@@ -519,7 +519,7 @@ def neardup_components_star(spark, sf_dir):
     recursive-CTE closure oracle verifies both algorithms converge to
     identical components."""
     return D.neardup_components(
-        _docs(spark, sf_dir), threshold=0.7, algorithm="star"
+        _docs_par(spark, sf_dir), threshold=0.7, algorithm="star"
     )
 
 
@@ -528,7 +528,7 @@ def neardup_keep_best(spark, sf_dir):
     retention): keep the LONGEST member (nonempty-token count, ties ->
     lowest id) of each connected component. One row_number window
     PARTITIONED by component_id — never a global sort."""
-    return D.keep_best_per_component(_docs(spark, sf_dir), threshold=0.7)
+    return D.keep_best_per_component(_docs_par(spark, sf_dir), threshold=0.7)
 
 
 def neardup_cluster_sizes(spark, sf_dir):
@@ -536,7 +536,7 @@ def neardup_cluster_sizes(spark, sf_dir):
     (component size -> number of components). Two partial-aggregating
     groupBys over the component table; the heavy lifting is the
     components fixed-point, shared shape with neardup_components."""
-    comp = D.neardup_components(_docs(spark, sf_dir), threshold=0.7)
+    comp = D.neardup_components(_docs_par(spark, sf_dir), threshold=0.7)
     return (
         comp.groupBy("component_id")
         .agg(F.count("*").alias("cluster_size"))

@@ -130,7 +130,9 @@ def test_lsh_pair_plans_scan_upstream_minimally(spark):
     assert (
         _scans(D.simhash_pairs_multi_index(docs), "documents.parquet") == 1
     )
-    assert _scans(D.ngram_jaccard_pairs(docs), "documents.parquet") == 4
+    # round 6: shingle_rows' pandas impl has no union small-doc branch,
+    # so each self-join alias scans the source once: 2 scans.
+    assert _scans(D.ngram_jaccard_pairs(docs), "documents.parquet") == 2
     # round 6: the fat-bucket path fuses candidate enumeration and the
     # exact-fold-order numpy verify into ONE grouped pass — vectors ride
     # the band fan-out, so the two vector join-backs are gone: 1 scan.
@@ -269,7 +271,11 @@ def test_gopher_filter_is_jvm_only_single_scan(spark):
     plan = _plan(Q.gopher_filter(spark, "/root/testdata/sf0.001"))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Scan parquet") == 1, plan
-    assert "Exchange" not in plan, plan  # pure per-row projection
+    # round 6: exactly ONE exchange — the deterministic spread of the
+    # single-row-group source (queries._par) that parallelizes the
+    # signal projection (9.1 s -> 0.8 s at sf1.0); the rule evaluation
+    # itself stays a pure per-row projection with no further shuffle.
+    assert plan.count("Exchange") == 1 and "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_compaction_plan_table_join_is_broadcast(spark, tmp_path):
