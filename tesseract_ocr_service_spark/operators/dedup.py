@@ -1280,6 +1280,11 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the per-row change flag INTO the checkpoint (labels
+        # only ever decrease, so new < old ⟺ changed): the convergence
+        # probe is then one filter+count scan of the checkpoint instead
+        # of a join of the new labels back onto the old — that join
+        # shuffled both full label sets once more per round.
         new_labels = _truncate_lineage(
             labels.join(neighbor_min, labels["id"] == neighbor_min["s"], "left")
             .select(
@@ -1287,15 +1292,13 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
+                (F.coalesce("nlabel", F.col("label")) < F.col("label")).alias(
+                    "_chg"
+                ),
             )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("_chg")).count()
+        labels = new_labels.select("id", "label")
         if changed == 0:
             break
     if changed != 0:

@@ -498,10 +498,10 @@ def dedup_incremental_kept(spark, sf_dir):
     docs = _docs_par(spark, sf_dir)
     mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
     k1, s1 = I.dedup_incremental(
-        docs.where(F.col("doc_id") <= mid), persist=False
+        docs.where(F.col("doc_id") <= mid), persist="checkpoint"
     )
     k2, _ = I.dedup_incremental(
-        docs.where(F.col("doc_id") > mid), s1, persist=False
+        docs.where(F.col("doc_id") > mid), s1, persist="checkpoint"
     )
     return k1.select("doc_id").unionByName(k2.select("doc_id"))
 
