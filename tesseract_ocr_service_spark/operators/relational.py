@@ -275,7 +275,7 @@ def json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- training-data op: corpus token frequency (top-k tokens) — the
 # explode/aggregate/top-k shape every vocabulary build uses.
 def top_tokens(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
-    docs = _t_par(spark, sf_dir, "documents", "doc_id")
+    docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split("text", r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
