@@ -194,12 +194,15 @@ def shingle_rows(
     text_col: str = "text",
     n: int = 3,
     distinct: bool = True,
-    impl: str = "pandas",
+    impl: str = "auto",
 ) -> DataFrame:
     """Word n-gram shingles as ROWS: (id, shingle), the corpus-scale
     twin of :func:`word_shingles`.
 
-    impl='pandas' (default, round 6): tokenization stays a JVM
+    impl='auto' (default, round 6): 'pandas' when the source is big
+    enough to amortize an Arrow stage (>= 4 MB, same size-adaptive
+    rule as queries._par), else 'window'. impl='pandas': tokenization
+    stays a JVM
     expression (normalize + split — charset/locale semantics identical
     to every other consumer of T.tokens), and ONLY the adjacent-token
     join runs in an Arrow batch (guide §4.2: hand whole batches to
@@ -228,6 +231,14 @@ def shingle_rows(
     # for NULL text and the document would silently drop out.
     norm = T.normalized(F.coalesce(F.col(text_col), F.lit("")))
     toks_arr = T.tokens(norm)
+    if impl == "auto":
+        # size-adaptive (same rule/threshold as queries._par): the
+        # Arrow pass pays a fixed JVM<->Python round-trip per stage
+        # (~0.3 s) that only amortizes once the source is more than a
+        # few MB; tiny/oracle corpora keep the pure-plan window shape.
+        from .queries import _input_bytes
+
+        impl = "pandas" if _input_bytes(df) >= 4 * 1024 * 1024 else "window"
     if impl == "pandas":
         import pandas as pd
 

@@ -43,9 +43,36 @@ def _par(df: DataFrame, key: str) -> DataFrame:
     rand/round-robin — retried tasks must reproduce the assignment)
     costs one exchange of the few-MB source rows. Only the queries with
     substantial per-row work use this; trivial projections keep the
-    exchange-free single-task plan."""
+    exchange-free single-task plan.
+
+    SIZE-ADAPTIVE (guide §2: derive partitioning from input size, not
+    a constant): below ~4 MB of source bytes the exchange's fixed cost
+    (~0.3 s) exceeds what spreading the per-row work saves — measured
+    at sf0.1 (0.6 MB documents) where a blanket repartition cost
+    tfidf/dsir/repetition +0.3-0.8 s each while the sf1.0 (5.9 MB)
+    wins were 1.3-3x. Reading the file sizes is a driver-side listing
+    lookup, no Spark job."""
+    if _input_bytes(df) < 4 * 1024 * 1024:
+        return df
     p = df.sparkSession.sparkContext.defaultParallelism * 2
     return df.repartition(p, F.xxhash64(key))
+
+
+def _input_bytes(df: DataFrame) -> int:
+    import os
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for f in df.inputFiles():
+        u = urlparse(f)
+        path = unquote(u.path) if u.scheme in ("", "file") else None
+        if path is None:
+            return 1 << 60  # non-local storage: always worth spreading
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            pass
+    return total
 
 
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,7 +588,7 @@ def ann_ivf_topk(spark, sf_dir):
     import hashlib
     import os
 
-    emb = _emb_par(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
     cents = S.ivf_centroids(emb, n_lists=IVF_LISTS, iterations=0)
     src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     h = hashlib.sha256(src.encode())
@@ -587,7 +614,7 @@ def ann_ivf_topk(spark, sf_dir):
 def image_features_fake(spark, sf_dir):
     """Multimodal plumbing demo: documents bytes as fake image payloads
     through the Arrow-batched feature stage (rows-only check)."""
-    media = _docs_par(spark, sf_dir).select(
+    media = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("asset_id"),
         F.lit("image").alias("kind"),
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(
@@ -604,7 +631,7 @@ def audio_features_fake(spark, sf_dir):
     """Multimodal audio plumbing: documents bytes as fake audio payloads
     through the Arrow-batched audio feature stage; every projected field
     is a pure function of the content sha256, so DuckDB replays it."""
-    media = _docs_par(spark, sf_dir).select(
+    media = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("asset_id"),
         F.lit("audio").alias("kind"),
         F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8").alias(

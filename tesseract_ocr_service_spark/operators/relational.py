@@ -25,9 +25,9 @@ def _t_par(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     first exchange (tokenize/explode/regex) ran on ONE core. Same
     rationale and shape as queries._par (guide §2.5: hash of the key,
     never rand/round-robin)."""
-    df = _t(spark, sf_dir, name)
-    p = df.sparkSession.sparkContext.defaultParallelism * 2
-    return df.repartition(p, F.xxhash64(key))
+    from .queries import _par
+
+    return _par(_t(spark, sf_dir, name), key)
 
 
 # --- A1 (relational form): canonical assembly over a synthesized word
