@@ -73,31 +73,29 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Driver-correctness window rotation: the driver checks only the FIRST
-#: 50 entries of queries() (dict order). These names go first this round
-#: — every query left unchecked in CORRECTNESS_r04 plus the new round-5
-#: ones — so the union of r04 ∪ r05 driver rows covers ALL queries.
-#: Rotate next round: move the freshly-verified block to the end.
+#: 50 entries of queries() (dict order). Round-6 rotation (mechanical:
+#: least-recently-driver-checked first): exactly the 17 queries WITHOUT
+#: a CORRECTNESS_r05 row go first, so the r05 ∪ r06 union covers all 67
+#: without hand-curation. Rotate next round the same way: set(queries)
+#: minus the previous round's CORRECTNESS keys, in queries() order.
 _CHECK_FIRST = [
-    # new this round
-    "content_type_gate",
-    "corpus_funnel",
-    # 12 relational queries green in r03 but outside r04's 50-window
-    "pricing_summary",
-    "top_customers_by_region",
-    "json_export",
-    "top_tokens",
-    "lang_token_stats",
-    "sessionize",
-    "asof_last_error",
-    "range_join_purchases_near_errors",
-    "daily_event_pivot",
-    "value_percentiles",
-    "domain_quota_sample",
-    "train_val_test_split",
-    # never driver-checked before round 5
-    "lang_temperature_sample",
-    "pack_sequences",
-    "value_percentiles_approx",  # rows-only exemption (approx values)
+    "simhash_fingerprints",
+    "simhash_neardup_pairs",
+    "image_features",
+    "audio_features",
+    "dsir_select",
+    "quality_linear_score",
+    "perplexity_filter",
+    "extract_canonical_text",
+    "line_dedup_canonical",
+    "assembly_relational",
+    "confidence_mean",
+    "bbox_rollup",
+    "store_stats",
+    "sorted_order_lists",
+    "nonempty_word_counts",
+    "ts_window_rollup",
+    "validation_routing",
 ]
 
 
