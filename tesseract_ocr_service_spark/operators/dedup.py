@@ -297,6 +297,134 @@ def shingle_rows(
     return out.dropDuplicates(["id", "shingle"]) if distinct else out
 
 
+def _jaccard_pairs_blocked(
+    per_doc: DataFrame, n: int, id_ddl: str, threshold: float, n_blocks: int
+) -> DataFrame:
+    """Exact all-pairs shingle-Jaccard >= threshold, as a blocked
+    self-comparison: docs hash into ``n_blocks`` deterministic blocks
+    (retry-safe, guide §2.5); one Arrow task per unordered block pair
+    enumerates every shingle co-occurrence between its two blocks in
+    numpy (the same candidate multiset the shingle self-join emits,
+    Σ_g occ_i(g)·occ_j(g) rows in C instead of a corpus-wide shuffle),
+    counts pairs with a sort + run-length pass, and applies the rounded
+    threshold INSIDE the task — only surviving pairs (plus their
+    exactly-replicated ``round(j, 4)`` value, similarity._round4_spark
+    semantics) ever reach Spark. This removes the two heaviest
+    operators of the join shape at sf1.0: the ~127M-candidate-row
+    exchange and the ~114M-group hash aggregate (the measured 13 s
+    floor). ``per_doc`` carries (id, _tk): the JVM-tokenized token
+    array — 3x fewer replicated bytes than the shingle set, and no
+    collect_set shuffle; each task builds its docs' DISTINCT shingle
+    sets with the same adjacent-token join as shingle_rows' pandas
+    impl (byte-identical strings — joining JVM tokens with ' ' is
+    charset-neutral), short docs contributing their whole text as one
+    shingle."""
+    from .similarity import _round4_ge_boundary, _round4_spark
+
+    bound = _round4_ge_boundary(threshold)
+    B = n_blocks
+
+    def _task(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype=object), "id_b": pd.Series(dtype=object),
+             "jaccard": pd.Series(dtype=np.float64)}
+        )
+        if len(pdf) == 0:
+            return empty
+        ti = int(pdf["_ti"].iloc[0])
+        tj = int(pdf["_tj"].iloc[0])
+        ids = pdf["id"].to_numpy()
+        flat: list = []
+        lens = np.empty(len(ids), np.int64)
+        for k, toks in enumerate(pdf["_tk"]):
+            toks = list(toks)
+            if len(toks) >= n:
+                ss = dict.fromkeys(
+                    " ".join(toks[j : j + n])
+                    for j in range(len(toks) - n + 1)
+                )
+                flat.extend(ss)
+                lens[k] = len(ss)
+            else:
+                flat.append(" ".join(toks))
+                lens[k] = 1
+        codes, _ = pd.factorize(np.asarray(flat, dtype=object))
+        row_doc = np.repeat(np.arange(len(ids)), lens)
+        blk = pdf["_b"].to_numpy()
+        if ti == tj:
+            lm = rm = slice(None)
+        else:
+            row_blk = np.repeat(blk, lens)
+            lm, rm = row_blk == ti, row_blk == tj
+        dl, cl = row_doc[lm], codes[lm]
+        dr, cr = row_doc[rm], codes[rm]
+        if len(dl) == 0 or len(dr) == 0:
+            return empty
+        ol = np.argsort(cl, kind="stable")
+        dl, cl = dl[ol], cl[ol]
+        orr = np.argsort(cr, kind="stable")
+        dr, cr = dr[orr], cr[orr]
+        s = np.searchsorted(cr, cl, side="left")
+        e = np.searchsorted(cr, cl, side="right")
+        ln = e - s
+        tot = int(ln.sum())
+        if tot == 0:
+            return empty
+        offs = np.zeros(len(ln) + 1, np.int64)
+        np.cumsum(ln, out=offs[1:])
+        idx = np.arange(tot, dtype=np.int64) - np.repeat(offs[:-1], ln) + np.repeat(s, ln)
+        L = np.repeat(dl, ln)
+        R = dr[idx]
+        key = L * np.int64(len(ids)) + R
+        uk, inter = np.unique(key, return_counts=True)
+        L, R = uk // len(ids), uk % len(ids)
+        if ti == tj:
+            # diagonal task: each unordered pair was emitted both ways
+            keep = L < R  # local ordinals; dedup only, order fixed below
+            L, R, inter = L[keep], R[keep], inter[keep]
+            if len(L) == 0:
+                return empty
+        q = inter.astype(np.float64) / (lens[L] + lens[R] - inter).astype(np.float64)
+        m = q >= bound
+        if not m.any():
+            return empty
+        ia, ib, q = ids[L[m]], ids[R[m]], q[m]
+        swap = ib < ia
+        ia2 = np.where(swap, ib, ia)
+        ib2 = np.where(swap, ia, ib)
+        return pd.DataFrame(
+            {"id_a": ia2, "id_b": ib2,
+             "jaccard": np.array([_round4_spark(v) for v in q], np.float64)}
+        )
+
+    fan = (
+        per_doc.select(
+            "id",
+            "_tk",
+            F.pmod(F.xxhash64("id"), F.lit(B)).cast("int").alias("_b"),
+        )
+        .select(
+            "id",
+            "_tk",
+            "_b",
+            F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("_p"),
+        )
+        .select(
+            "id",
+            "_tk",
+            "_b",
+            F.least("_b", "_p").alias("_ti"),
+            F.greatest("_b", "_p").alias("_tj"),
+        )
+    )
+    return fan.groupBy("_ti", "_tj").applyInPandas(
+        _task, schema=f"id_a {id_ddl}, id_b {id_ddl}, jaccard double"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -304,6 +432,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     hot_shingle_cap: int | None = 1000,
+    pair_impl: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -343,6 +472,48 @@ def ngram_jaccard_pairs(
         # candidate fan-out (16 fewer bytes on every one of the ~127M
         # candidate rows at sf1.0) and is instead broadcast-joined onto
         # the aggregated pair table from the same checkpoint.
+        if pair_impl == "auto":
+            # same size-adaptive rule as queries._par / shingle impl:
+            # the blocked shape pays a B× replication of the compact
+            # per-doc sets, which only amortizes once the join shape's
+            # candidate explosion is the dominant cost.
+            from .queries import _input_bytes
+
+            pair_impl = (
+                "blocked"
+                if _input_bytes(df) >= 4 * 1024 * 1024
+                else "join"
+            )
+        if pair_impl == "blocked":
+            import math
+
+            from .queries import _input_bytes
+
+            par = df.sparkSession.sparkContext.defaultParallelism
+            # enough block pairs for ~3 waves of tasks (B=14 vs 28 at
+            # 50k docs on local[32]: median 3.8-4.25 s vs 4.3-4.8 s in
+            # a warm JVM — higher B pays more replication than the
+            # smoother scheduling buys), and blocks no bigger than
+            # ~16 MB of source text: with a fixed block byte-size the
+            # per-task candidate count (Σ_g occ_i·occ_j ≈
+            # block_rows² / vocab) stays FLAT as the corpus grows —
+            # B ∝ N keeps every task memory-bounded while the task
+            # count absorbs the quadratic total.
+            B = max(
+                math.ceil(math.sqrt(6 * par)),
+                math.ceil(_input_bytes(df) / (16 * 1024 * 1024)),
+            )
+            B = min(B, 256)
+            toks = df.select(
+                F.col(id_col).alias("id"),
+                T.tokens(
+                    T.normalized(F.coalesce(F.col(text_col), F.lit("")))
+                ).alias("_tk"),
+            )
+            id_ddl = df.schema[id_col].dataType.simpleString()
+            return _jaccard_pairs_blocked(toks, n, id_ddl, threshold, B)
+        if pair_impl != "join":
+            raise ValueError(f"unknown pair_impl {pair_impl!r}")
         sh = shingle_rows(df, id_col, text_col, n, distinct=False)
         per_doc = _truncate_lineage(
             sh.groupBy("id").agg(F.collect_set("shingle").alias("_ss"))

@@ -53,6 +53,48 @@ def test_ngram_jaccard_pairs(docs):
     assert not any(4 in p for p in pairs)
 
 
+def test_ngram_jaccard_blocked_equals_join(spark):
+    """Exact mode's two physical shapes (r6): the blocked numpy
+    all-pairs (production scale) must emit bit-identical rows to the
+    shingle self-join, including rounded jaccard values, short/empty/
+    NULL docs (whole-text shingle rule) and unicode tokens."""
+    import random
+
+    rnd = random.Random(7)
+    vocab = (
+        "the quick brown fox spark shuffle partition kernel vector "
+        "Привет мир 中文 数据 café naïve"
+    ).split()
+    rows = []
+    for i in range(400):
+        n_w = rnd.randint(1, 40)  # includes docs shorter than n=3
+        rows.append((i, " ".join(rnd.choice(vocab) for _ in range(n_w))))
+    # planted structure: exact dups, a near-dup, empty and NULL text
+    rows[50] = (50, rows[10][1])
+    rows[51] = (51, rows[10][1] + " extra")
+    rows.append((400, ""))
+    rows.append((401, None))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fp(out):
+        return sorted(map(tuple, out.collect()))
+
+    join_rows = fp(
+        D.ngram_jaccard_pairs(
+            df, threshold=0.2, hot_shingle_cap=None, pair_impl="join"
+        )
+    )
+    blocked_rows = fp(
+        D.ngram_jaccard_pairs(
+            df, threshold=0.2, hot_shingle_cap=None, pair_impl="blocked"
+        )
+    )
+    assert blocked_rows == join_rows
+    assert len(join_rows) > 0
+    # the exact-dup pair must survive with jaccard exactly 1.0
+    assert (10, 50, 1.0) in set(blocked_rows)
+
+
 def test_minhash_pairs_finds_near_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
