@@ -95,6 +95,31 @@ def test_ngram_jaccard_blocked_equals_join(spark):
     assert (10, 50, 1.0) in set(blocked_rows)
 
 
+def test_minhash_signatures_pandas_equals_agg(spark):
+    """The one-pass Arrow signature builder (r6) must produce the
+    identical (id, sig) table as the explode + K-min-aggregate shape,
+    including short/empty/NULL docs and unicode shingles."""
+    import random
+
+    rnd = random.Random(11)
+    vocab = "alpha beta gamma Привет мир 中文 café x&y".split()
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 30))))
+        for i in range(300)
+    ]
+    rows += [(300, ""), (301, None), (302, "one two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    agg = sorted(
+        (r["id"], tuple(r["sig"]))
+        for r in D.minhash_signatures_agg(df, impl="agg").collect()
+    )
+    pnd = sorted(
+        (r["id"], tuple(r["sig"]))
+        for r in D.minhash_signatures_agg(df, impl="pandas").collect()
+    )
+    assert pnd == agg and len(agg) == 303
+
+
 def test_minhash_pairs_finds_near_dups(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
