@@ -868,9 +868,16 @@ def minhash_signatures_agg(
     k: int = 16,
     n: int = 3,
     impl: str = "auto",
+    carry: dict | None = None,
 ) -> DataFrame:
     """Scalable minhash: one pass over the corpus, K minima per doc.
-    -> (id, sig: array<string> length K).
+    -> (id, *carry, sig: array<string> length K). ``carry`` maps
+    output column name -> per-doc Column expression over ``df`` (e.g.
+    the exact-dedup fingerprint): the pandas impl evaluates it JVM-side
+    in the SAME projection and passes it through the Arrow stage —
+    signature_table then needs no (id ⋈ id) join of two 50k-row
+    consumers; the agg impl joins the carry projection back on id
+    (its aggregate cannot pass columns through).
 
     impl='agg': explode shingles ONCE (the expression-only
     :func:`minhash_signature` recomputes the shingle array per
@@ -902,13 +909,19 @@ def minhash_signatures_agg(
         from .queries import _input_bytes
 
         impl = "pandas" if _input_bytes(df) >= 4 * 1024 * 1024 else "agg"
+    carry = carry or {}
     if impl == "pandas":
         id_ddl = df.schema[id_col].dataType.simpleString()
         base = df.select(
             F.col(id_col).alias("id"),
+            *[c.alias(name) for name, c in carry.items()],
             T.tokens(
                 T.normalized(F.coalesce(F.col(text_col), F.lit("")))
             ).alias("_tk"),
+        )
+        carry_ddl = ", ".join(
+            f"{name} {base.schema[name].dataType.simpleString()}"
+            for name in carry
         )
         prefixes = [f"{i}:".encode() for i in range(k)]
 
@@ -936,9 +949,8 @@ def minhash_signatures_agg(
                 return v
 
             for batch in batches:
-                ids: list = []
                 sigs: list = []
-                for i, toks in zip(batch["id"], batch["_tk"]):
+                for toks in batch["_tk"]:
                     toks = list(toks)
                     if len(toks) >= n:
                         ss = dict.fromkeys(
@@ -948,16 +960,18 @@ def minhash_signatures_agg(
                     else:
                         ss = (" ".join(toks),)
                     vecs = [_vec(s) for s in ss]
-                    ids.append(i)
                     sigs.append(
                         list(vecs[0])
                         if len(vecs) == 1
                         else [min(col) for col in zip(*vecs)]
                     )
-                yield pd.DataFrame({"id": ids, "sig": sigs})
+                out = batch.drop(columns=["_tk"])
+                out["sig"] = sigs
+                yield out
 
+        cols = f", {carry_ddl}" if carry_ddl else ""
         return base.mapInPandas(
-            _sigs, schema=f"id {id_ddl}, sig array<string>"
+            _sigs, schema=f"id {id_ddl}{cols}, sig array<string>"
         )
     if impl != "agg":
         raise ValueError(f"unknown minhash impl {impl!r}")
@@ -972,9 +986,16 @@ def minhash_signatures_agg(
         for i in range(k)
     ]
     out = sh.groupBy("id").agg(*aggs)
-    return out.select(
+    out = out.select(
         "id", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig")
     )
+    if carry:
+        proj = df.select(
+            F.col(id_col).alias("id"),
+            *[c.alias(name) for name, c in carry.items()],
+        )
+        out = proj.join(out, "id").select("id", *carry, "sig")
+    return out
 
 
 def sig_band_rows(

@@ -65,14 +65,18 @@ def signature_table(
     """(id, fingerprint, sig) per document — the store row shape.
     fingerprint is the exact-dedup normalized md5; sig the K-component
     md5 minhash (both identical to the one-shot pipeline's). The
-    fingerprint branch is a second, cheap consumer of ``df`` (one md5
-    per doc — no tokenization); the shingle/minhash pass stays single."""
-    sigs = D.minhash_signatures_agg(df, id_col, text_col, k, n)
-    fps = df.select(
-        F.col(id_col).alias("id"),
-        T.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+    fingerprint rides the signature pass as a carry column (r6): on the
+    Arrow impl it is evaluated in the same projection and passed
+    through — no second consumer of ``df`` and no (id ⋈ id) join; the
+    small-source agg impl keeps the previous join shape internally."""
+    return D.minhash_signatures_agg(
+        df,
+        id_col,
+        text_col,
+        k,
+        n,
+        carry={"fingerprint": T.fingerprint_md5(F.col(text_col))},
     )
-    return fps.join(sigs, "id")
 
 
 def dedup_incremental(

@@ -62,8 +62,27 @@ def _input_bytes(df: DataFrame) -> int:
     import os
     from urllib.parse import unquote, urlparse
 
+    files = df.inputFiles()
+    if not files:
+        # No file sources in the lineage (eagerly checkpointed or
+        # in-memory frames): inputFiles() is empty and the old
+        # behavior read as 0 bytes, silently disabling every
+        # size-gated fast path downstream of a checkpoint (observed:
+        # corpus_funnel's dedup stage fell back to the slow shapes).
+        # The optimizer's stats are REAL for eager checkpoints (the
+        # materialized size rides the LogicalRDD); frames with no
+        # stats at all (pyspark createDataFrame) report the
+        # Long.MaxValue default — keep those at 0 (the conservative
+        # never-spread behavior for tiny test frames).
+        try:
+            sz = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            return sz if sz < (1 << 60) else 0
+        except Exception:
+            return 0
     total = 0
-    for f in df.inputFiles():
+    for f in files:
         u = urlparse(f)
         path = unquote(u.path) if u.scheme in ("", "file") else None
         if path is None:

@@ -293,10 +293,18 @@ def test_par_threshold_spreads_only_big_sources(spark):
     small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert "Exchange" not in _plan(Q._par(small, "doc_id"))
     assert 0 < Q._input_bytes(small) < 4 * 1024 * 1024
-    # in-memory frames (no input files) read as 0 bytes -> never spread
+    # frames with no file sources use the optimizer's stats (r6: real
+    # for eager checkpoints — a 0-byte read would silently disable
+    # every size gate downstream of a checkpoint); stat-less in-memory
+    # frames (pyspark createDataFrame reports the Long.MaxValue
+    # default) stay at 0 and are never spread
     tiny = spark.createDataFrame([(1,)], ["doc_id"])
     assert Q._input_bytes(tiny) == 0
     assert "Exchange" not in _plan(Q._par(tiny, "doc_id"))
+    big_ckpt = spark.read.parquet(
+        "/root/testdata/sf0.1/documents.parquet"
+    ).localCheckpoint(eager=True)
+    assert Q._input_bytes(big_ckpt) > 0
 
 
 def test_compaction_plan_table_join_is_broadcast(spark, tmp_path):
