@@ -1538,9 +1538,6 @@ def connected_components(
     oracle on duplicate chains longer than max_iter) — that raises by
     default; ``on_nonconverged='warn'`` downgrades to a logged warning.
     """
-    labels = _truncate_lineage(
-        vertices.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
-    )
     # symmetrize with ONE scan of edges (explode of both orientations),
     # not a union of two selects: the union form consumes the (often
     # expensive — LSH banding + verify) edge plan twice, and Catalyst
@@ -1560,6 +1557,19 @@ def connected_components(
         )
         .select("e.s", "e.d")
         .distinct()
+    )
+    # The loop runs over EDGE ENDPOINTS only (r6): a vertex with no
+    # edge keeps label = id forever, so isolated vertices (the vast
+    # majority of a dedup graph) are joined back AFTER convergence
+    # instead of riding every round's join + aggregate + checkpoint.
+    # Round 1 is fused into the init: against identity labels,
+    # min-of-neighbor-labels IS min-of-neighbor-ids, so the seed
+    # label = least(id, min neighbor id) — one groupBy instead of the
+    # first join round.
+    labels = _truncate_lineage(
+        sym.groupBy(F.col("s").alias("id"))
+        .agg(F.min("d").alias("_m"))
+        .select("id", F.least("id", "_m").alias("label"))
     )
     changed = -1
     for _ in range(max_iter):
@@ -1599,7 +1609,13 @@ def connected_components(
             log.warning(msg)
         else:
             raise RuntimeError(msg)
-    return labels.select("id", F.col("label").alias("component_id"))
+    return (
+        vertices.select(F.col(id_col).alias("id"))
+        .join(labels.withColumnRenamed("label", "_lb"), "id", "left")
+        .select(
+            "id", F.coalesce("_lb", F.col("id")).alias("component_id")
+        )
+    )
 
 
 def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
