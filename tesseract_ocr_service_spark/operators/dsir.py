@@ -86,6 +86,7 @@ def hashed_gram_counts(
     n_buckets: int = 256,
     hash_mode: str = "xxhash64",
     carry: list[str] | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Bag-of-hashed-grams per document: (id, [carry...], bucket, cnt)
     where grams are every unigram AND every adjacent bigram of the
@@ -98,10 +99,106 @@ def hashed_gram_counts(
     emitting [unigram, bigram?] through a tiny array explode. The
     groupBy reuses the window's per-id hash partitioning (id is a
     prefix of the grouping key), so tokenize -> counts is a single
-    shuffle."""
+    shuffle.
+
+    r6 fast path (md5 mode, source >= 4 MB): the gram build, bucket
+    hash and per-doc count all fold into ONE Arrow stage —
+    tokenization stays a JVM expression; each task hashes every
+    distinct gram it sees once (size-capped memo; hashlib.md5 hex ==
+    Spark md5 over the same UTF-8 bytes, and the first-8-hex-chars
+    conv/% arithmetic is replicated exactly) and emits the finished
+    (id, bucket, cnt) rows. Removes the token-stream window
+    exchange+sort, the per-INSTANCE md5 calls and the count shuffle.
+    xxhash64 mode has no Python twin, so the production path keeps the
+    pure-plan shape."""
     carry = carry or []
     norm = T.normalized(F.coalesce(F.col(text_col), F.lit("")))
     toks = T.tokens(norm)
+    if impl == "auto":
+        from .queries import _input_bytes
+
+        impl = (
+            "pandas"
+            if hash_mode == "md5"
+            and _input_bytes(df) >= 4 * 1024 * 1024
+            else "window"
+        )
+    if impl == "pandas":
+        if hash_mode != "md5":
+            raise ValueError("pandas impl requires hash_mode='md5'")
+        id_ddl = df.schema[id_col].dataType.simpleString()
+        carry_ddl = "".join(
+            f", {c} {df.schema[c].dataType.simpleString()}"
+            for c in carry
+        )
+        base = df.select(
+            F.col(id_col).alias("id"),
+            *[F.col(c) for c in carry],
+            toks.alias("_tk"),
+        )
+        nb = n_buckets
+
+        def _counts(batches):
+            import hashlib
+
+            memo: dict = {}
+
+            def _b(g: str) -> int:
+                v = memo.get(g)
+                if v is None:
+                    v = (
+                        int(
+                            hashlib.md5(
+                                g.encode("utf-8")
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % nb
+                    )
+                    if len(memo) >= 200_000:
+                        memo.clear()
+                    memo[g] = v
+                return v
+
+            for batch in batches:
+                out = {
+                    "id": [],
+                    **{c: [] for c in carry},
+                    "bucket": [],
+                    "cnt": [],
+                }
+                for row in zip(
+                    batch["id"], *[batch[c] for c in carry], batch["_tk"]
+                ):
+                    i, cvals, tk = row[0], row[1:-1], list(row[-1])
+                    if not tk:
+                        continue
+                    cnts: dict = {}
+                    prev = tk[0]
+                    b = _b(prev)
+                    cnts[b] = cnts.get(b, 0) + 1
+                    for t in tk[1:]:
+                        b = _b(t)
+                        cnts[b] = cnts.get(b, 0) + 1
+                        b = _b(prev + " " + t)
+                        cnts[b] = cnts.get(b, 0) + 1
+                        prev = t
+                    m = len(cnts)
+                    out["id"].extend([i] * m)
+                    for c, v in zip(carry, cvals):
+                        out[c].extend([v] * m)
+                    out["bucket"].extend(cnts.keys())
+                    out["cnt"].extend(cnts.values())
+                import pandas as pd
+
+                yield pd.DataFrame(out)
+
+        return base.mapInPandas(
+            _counts,
+            schema=(
+                f"id {id_ddl}{carry_ddl}, bucket bigint, cnt bigint"
+            ),
+        )
     pos_toks = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in carry],
@@ -231,6 +328,102 @@ def hashed_bigram_pairs(
     )
 
 
+def hashed_bigram_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    hash_mode: str = "xxhash64",
+    impl: str = "auto",
+) -> DataFrame:
+    """Per-doc hashed-bigram multiplicities: (id, b1, b2, cnt) — the
+    aggregated twin of :func:`hashed_bigram_pairs` (sum(cnt) over a
+    doc == its pair-row count). md5 mode on a big source builds the
+    counts in ONE Arrow stage (same memoized-bucket scheme as
+    :func:`hashed_gram_counts`); otherwise the pair rows are counted
+    with a (id, b1, b2) groupBy that reuses the lead-window's per-id
+    partitioning."""
+    if impl == "auto":
+        from .queries import _input_bytes
+
+        impl = (
+            "pandas"
+            if hash_mode == "md5"
+            and _input_bytes(df) >= 4 * 1024 * 1024
+            else "window"
+        )
+    if impl == "pandas":
+        if hash_mode != "md5":
+            raise ValueError("pandas impl requires hash_mode='md5'")
+        id_ddl = df.schema[id_col].dataType.simpleString()
+        base = df.select(
+            F.col(id_col).alias("id"),
+            T.tokens(
+                T.normalized(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_tk"),
+        )
+        nb = n_buckets
+
+        def _counts(batches):
+            import hashlib
+
+            import pandas as pd
+
+            memo: dict = {}
+
+            def _b(g: str) -> int:
+                v = memo.get(g)
+                if v is None:
+                    v = (
+                        int(
+                            hashlib.md5(
+                                g.encode("utf-8")
+                            ).hexdigest()[:8],
+                            16,
+                        )
+                        % nb
+                    )
+                    if len(memo) >= 200_000:
+                        memo.clear()
+                    memo[g] = v
+                return v
+
+            for batch in batches:
+                ids: list = []
+                b1s: list = []
+                b2s: list = []
+                cs: list = []
+                for i, tk in zip(batch["id"], batch["_tk"]):
+                    tk = list(tk)
+                    if len(tk) < 2:
+                        continue
+                    cnts: dict = {}
+                    prev = _b(tk[0])
+                    for t in tk[1:]:
+                        cur = _b(t)
+                        key = (prev, cur)
+                        cnts[key] = cnts.get(key, 0) + 1
+                        prev = cur
+                    m = len(cnts)
+                    ids.extend([i] * m)
+                    b1s.extend(k[0] for k in cnts)
+                    b2s.extend(k[1] for k in cnts)
+                    cs.extend(cnts.values())
+                yield pd.DataFrame(
+                    {"id": ids, "b1": b1s, "b2": b2s, "cnt": cs}
+                )
+
+        return base.mapInPandas(
+            _counts,
+            schema=f"id {id_ddl}, b1 bigint, b2 bigint, cnt bigint",
+        )
+    return (
+        hashed_bigram_pairs(df, id_col, text_col, n_buckets, hash_mode)
+        .groupBy("id", "b1", "b2")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def perplexity_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -269,11 +462,15 @@ def perplexity_filter(
     from .dedup import _truncate_lineage
 
     B = n_buckets
-    pairs = hashed_bigram_pairs(
+    # per-doc (b1, b2, cnt) multiplicities instead of raw pair rows
+    # (r6): sums over cnt are the exact pair-row counts, and the
+    # persisted frame both consumers share shrinks to the per-doc
+    # distinct bigram space.
+    pairs = hashed_bigram_counts(
         df, id_col, text_col, n_buckets, hash_mode
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cb = _truncate_lineage(
-        pairs.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
+        pairs.groupBy("b1", "b2").agg(F.sum("cnt").alias("c12"))
     )
     c1 = cb.groupBy("b1").agg(F.sum("c12").alias("c1"))
     model = cb.join(c1, "b1").select(
@@ -290,7 +487,8 @@ def perplexity_filter(
         pairs.join(F.broadcast(model), ["b1", "b2"])
         .groupBy("id")
         .agg(
-            F.sum("w_micro").alias("lp"), F.count("*").alias("nb")
+            F.sum(F.col("w_micro") * F.col("cnt")).alias("lp"),
+            F.sum("cnt").alias("nb"),
         )
     )
     ids = df.select(F.col(id_col).alias("id"))

@@ -95,6 +95,34 @@ def test_ngram_jaccard_blocked_equals_join(spark):
     assert (10, 50, 1.0) in set(blocked_rows)
 
 
+def test_hashed_gram_impls_equal(spark):
+    """The Arrow gram/bigram builders (r6) must emit the identical
+    (id, bucket, cnt) / (id, b1, b2, cnt) tables as the window shapes,
+    including single-token, empty and NULL docs."""
+    import random
+
+    from tesseract_ocr_service_spark.operators import dsir as DS
+
+    rnd = random.Random(13)
+    vocab = "a bb ccc Привет 中文 café".split()
+    rows = [
+        (i, " ".join(rnd.choice(vocab) for _ in range(rnd.randint(1, 25))))
+        for i in range(200)
+    ]
+    rows += [(200, ""), (201, None), (202, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def fp(out):
+        return sorted(map(tuple, out.collect()))
+
+    g_win = fp(DS.hashed_gram_counts(df, n_buckets=64, hash_mode="md5", impl="window"))
+    g_pnd = fp(DS.hashed_gram_counts(df, n_buckets=64, hash_mode="md5", impl="pandas"))
+    assert g_pnd == g_win and len(g_win) > 0
+    b_win = fp(DS.hashed_bigram_counts(df, n_buckets=64, hash_mode="md5", impl="window"))
+    b_pnd = fp(DS.hashed_bigram_counts(df, n_buckets=64, hash_mode="md5", impl="pandas"))
+    assert b_pnd == b_win and len(b_win) > 0
+
+
 def test_minhash_signatures_pandas_equals_agg(spark):
     """The one-pass Arrow signature builder (r6) must produce the
     identical (id, sig) table as the explode + K-min-aggregate shape,
