@@ -1169,6 +1169,7 @@ def rolling_fingerprint_table(
     text_col: str = "text",
     window: int = 8,
     hash_fn: str = "xxhash64",
+    impl: str = "auto",
 ) -> DataFrame:
     """Corpus-scale winnowing fingerprint: min hash over `window`-gram
     shingles (same value as ``functions.textstats.rolling_fingerprint``,
@@ -1177,7 +1178,64 @@ def rolling_fingerprint_table(
 
     hash_fn='xxhash64' (default, bigint — fastest JVM-side) or 'md5'
     (hex string — reproducible in any engine, the oracle-checked form;
-    min over hex strings is order-isomorphic to min over the bits)."""
+    min over hex strings is order-isomorphic to min over the bits).
+
+    r6 fast path (md5 mode, source >= 4 MB): the whole fingerprint
+    folds into ONE Arrow stage — tokenization stays JVM, the long
+    window-gram strings are built, md5-hashed (hashlib == Spark md5
+    over the same UTF-8 bytes) and min-folded INSIDE the task, so
+    neither the ~window× inflated shingle strings nor their hex
+    digests ever cross a stage boundary, and the min-agg exchange
+    disappears (the source is one row per doc). No memo: window-grams
+    are effectively unique, and a multiset min needs no dedup."""
+    if impl == "auto":
+        from .queries import _input_bytes
+
+        impl = (
+            "pandas"
+            if hash_fn == "md5"
+            and _input_bytes(df) >= 4 * 1024 * 1024
+            else "plan"
+        )
+    if impl == "pandas":
+        if hash_fn != "md5":
+            raise ValueError("pandas impl requires hash_fn='md5'")
+        id_ddl = df.schema[id_col].dataType.simpleString()
+        base = df.select(
+            F.col(id_col).alias("id"),
+            T.tokens(
+                T.normalized(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("_tk"),
+        )
+        n = window
+
+        def _fp(batches):
+            import hashlib
+
+            for batch in batches:
+                fps: list = []
+                for toks in batch["_tk"]:
+                    toks = list(toks)
+                    if len(toks) >= n:
+                        it = (
+                            " ".join(toks[j : j + n])
+                            for j in range(len(toks) - n + 1)
+                        )
+                    else:
+                        it = (" ".join(toks),)
+                    fps.append(
+                        min(
+                            hashlib.md5(s.encode("utf-8")).hexdigest()
+                            for s in it
+                        )
+                    )
+                out = batch.drop(columns=["_tk"])
+                out["rolling_fp"] = fps
+                yield out
+
+        return base.mapInPandas(_fp, schema=f"id {id_ddl}, rolling_fp string")
+    if impl != "plan":
+        raise ValueError(f"unknown rolling impl {impl!r}")
     sh = shingle_rows(df, id_col, text_col, window, distinct=False)
     h = (
         F.xxhash64("shingle")
@@ -1185,6 +1243,111 @@ def rolling_fingerprint_table(
         else F.md5(F.encode(F.col("shingle"), "utf-8"))
     )
     return sh.groupBy("id").agg(F.min(h).alias("rolling_fp"))
+
+
+def simhash_rolling_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    impl: str = "auto",
+) -> DataFrame:
+    """Fused (id, sh, rolling_fp) — the md5-mode simhash bit-vote AND
+    the window-gram min-md5 winnowing fingerprint computed in ONE
+    Arrow stage (r6). The separate tables' join cost more than either
+    computation (two exchanges + sort-merge of two one-row-per-doc
+    frames); here both per-doc values fall out of the same pass and
+    the query plan is scan -> one Python stage, no exchange. Values
+    are bit-identical to ``simhash_table(hash_fn='md5_60')`` ⋈
+    ``rolling_fingerprint_table(hash_fn='md5')`` (pinned by test):
+    the simhash tokenizer replicates Java's ASCII ``\\s+`` split on
+    RAW text with empty tokens excluded from votes and n, the rolling
+    grams use the shared normalized tokenization, and both hashes are
+    hashlib.md5 == Spark md5 over identical UTF-8 bytes. Falls back to
+    the join of the two pure-plan tables under the 4 MB size gate."""
+    if impl == "auto":
+        from .queries import _input_bytes
+
+        impl = (
+            "pandas" if _input_bytes(df) >= 4 * 1024 * 1024 else "join"
+        )
+    if impl == "join":
+        sh = simhash_table(df, id_col, text_col, hash_fn="md5_60")
+        rolling = rolling_fingerprint_table(
+            df, id_col, text_col, window, hash_fn="md5"
+        )
+        return sh.join(rolling, "id")
+    if impl != "pandas":
+        raise ValueError(f"unknown simhash_rolling impl {impl!r}")
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_tx"),
+        T.tokens(
+            T.normalized(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("_tk"),
+    )
+    n = window
+
+    def _both(batches):
+        import hashlib
+        import re
+        from collections import Counter
+
+        import numpy as np
+
+        ws = re.compile(r"[ \t\n\x0B\f\r]+")
+        memo: dict = {}
+
+        def _bits(tok: str):
+            v = memo.get(tok)
+            if v is None:
+                h = int(
+                    hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16
+                )
+                v = np.array([(h >> b) & 1 for b in range(60)], np.int64)
+                if len(memo) >= 200_000:
+                    memo.clear()
+                memo[tok] = v
+            return v
+
+        for batch in batches:
+            shs: list = []
+            fps: list = []
+            for tx, toks in zip(batch["_tx"], batch["_tk"]):
+                raw = [t for t in ws.split(tx) if t]
+                if not raw:
+                    shs.append(0)
+                else:
+                    acc = np.zeros(60, np.int64)
+                    for tok, c in Counter(raw).items():
+                        acc += _bits(tok) * c
+                    sh = 0
+                    for bit in np.nonzero(acc * 2 > len(raw))[0]:
+                        sh |= 1 << int(bit)
+                    shs.append(sh)
+                toks = list(toks)
+                if len(toks) >= n:
+                    it = (
+                        " ".join(toks[j : j + n])
+                        for j in range(len(toks) - n + 1)
+                    )
+                else:
+                    it = (" ".join(toks),)
+                fps.append(
+                    min(
+                        hashlib.md5(s.encode("utf-8")).hexdigest()
+                        for s in it
+                    )
+                )
+            out = batch.drop(columns=["_tx", "_tk"])
+            out["sh"] = shs
+            out["rolling_fp"] = fps
+            yield out
+
+    return base.mapInPandas(
+        _both, schema=f"id {id_ddl}, sh bigint, rolling_fp string"
+    )
 
 
 # ------------------------------------------------------------ simhash

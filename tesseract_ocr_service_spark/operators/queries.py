@@ -348,14 +348,9 @@ def simhash_fingerprints(spark, sf_dir):
     """md5-hash variants of simhash + winnowing fingerprint — identical
     bit patterns reproducible in DuckDB (the xxhash64 variants are the
     production default; the algorithm under test is the same)."""
-    docs = _docs_par(spark, sf_dir)
-    sh = D.simhash_table(docs, hash_fn="md5_60").withColumnRenamed(
-        "id", "doc_id"
-    )
-    rolling = D.rolling_fingerprint_table(
-        docs, window=8, hash_fn="md5"
+    return D.simhash_rolling_table(
+        _docs_par(spark, sf_dir), window=8
     ).withColumnRenamed("id", "doc_id")
-    return sh.join(rolling, "doc_id")
 
 
 def simhash_neardup_pairs(spark, sf_dir):

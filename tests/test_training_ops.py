@@ -95,6 +95,46 @@ def test_ngram_jaccard_blocked_equals_join(spark):
     assert (10, 50, 1.0) in set(blocked_rows)
 
 
+def test_simhash_rolling_fused_equals_join(spark):
+    """The fused (sh, rolling_fp) Arrow pass (r6) must equal the
+    simhash_table ⋈ rolling_fingerprint_table composition exactly —
+    including empty/NULL docs, tab/newline whitespace (Java ASCII \\s
+    semantics) and unicode tokens. The tiny frame exercises the
+    join fallback; the forced-pandas path is compared row-for-row."""
+    rows = [
+        (1, "a b  c"),
+        (2, ""),
+        (3, None),
+        (4, "tab\tsep\nnl longer doc with many words here ok"),
+        (5, "Привет мир 中文 café x y z w q r t"),
+        (6, "one two three four five six seven eight nine ten"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    joined = sorted(
+        map(
+            tuple,
+            D.simhash_table(docs, hash_fn="md5_60")
+            .join(
+                D.rolling_fingerprint_table(
+                    docs, window=8, hash_fn="md5", impl="plan"
+                ),
+                "id",
+            )
+            .collect(),
+        )
+    )
+    fused = sorted(
+        map(tuple, D.simhash_rolling_table(docs, impl="pandas").collect())
+    )
+    assert fused == joined and len(fused) == 6
+    # rolling impls agree standalone too
+    pl = sorted(map(tuple, D.rolling_fingerprint_table(
+        docs, hash_fn="md5", impl="plan").collect()))
+    pnd = sorted(map(tuple, D.rolling_fingerprint_table(
+        docs, hash_fn="md5", impl="pandas").collect()))
+    assert pl == pnd
+
+
 def test_hashed_gram_impls_equal(spark):
     """The Arrow gram/bigram builders (r6) must emit the identical
     (id, bucket, cnt) / (id, b1, b2, cnt) tables as the window shapes,
