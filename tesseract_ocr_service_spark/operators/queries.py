@@ -203,7 +203,11 @@ def tfidf_top_terms(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _docs_par(spark, sf_dir)
-    n_docs = docs.count()  # driver scalar, matches the oracle's count(*)
+    # driver scalar, matches the oracle's count(*) — counted on the
+    # UN-repartitioned scan (r6): count-star on a bare parquet frame is
+    # answered from file metadata, while counting `docs` would pay the
+    # _par exchange once more for a number the exchange cannot change
+    n_docs = _docs(spark, sf_dir).count()
     toks = docs.select(
         "doc_id",
         F.explode(
