@@ -328,102 +328,6 @@ def hashed_bigram_pairs(
     )
 
 
-def hashed_bigram_counts(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n_buckets: int = 256,
-    hash_mode: str = "xxhash64",
-    impl: str = "auto",
-) -> DataFrame:
-    """Per-doc hashed-bigram multiplicities: (id, b1, b2, cnt) — the
-    aggregated twin of :func:`hashed_bigram_pairs` (sum(cnt) over a
-    doc == its pair-row count). md5 mode on a big source builds the
-    counts in ONE Arrow stage (same memoized-bucket scheme as
-    :func:`hashed_gram_counts`); otherwise the pair rows are counted
-    with a (id, b1, b2) groupBy that reuses the lead-window's per-id
-    partitioning."""
-    if impl == "auto":
-        from .queries import _input_bytes
-
-        impl = (
-            "pandas"
-            if hash_mode == "md5"
-            and _input_bytes(df) >= 4 * 1024 * 1024
-            else "window"
-        )
-    if impl == "pandas":
-        if hash_mode != "md5":
-            raise ValueError("pandas impl requires hash_mode='md5'")
-        id_ddl = df.schema[id_col].dataType.simpleString()
-        base = df.select(
-            F.col(id_col).alias("id"),
-            T.tokens(
-                T.normalized(F.coalesce(F.col(text_col), F.lit("")))
-            ).alias("_tk"),
-        )
-        nb = n_buckets
-
-        def _counts(batches):
-            import hashlib
-
-            import pandas as pd
-
-            memo: dict = {}
-
-            def _b(g: str) -> int:
-                v = memo.get(g)
-                if v is None:
-                    v = (
-                        int(
-                            hashlib.md5(
-                                g.encode("utf-8")
-                            ).hexdigest()[:8],
-                            16,
-                        )
-                        % nb
-                    )
-                    if len(memo) >= 200_000:
-                        memo.clear()
-                    memo[g] = v
-                return v
-
-            for batch in batches:
-                ids: list = []
-                b1s: list = []
-                b2s: list = []
-                cs: list = []
-                for i, tk in zip(batch["id"], batch["_tk"]):
-                    tk = list(tk)
-                    if len(tk) < 2:
-                        continue
-                    cnts: dict = {}
-                    prev = _b(tk[0])
-                    for t in tk[1:]:
-                        cur = _b(t)
-                        key = (prev, cur)
-                        cnts[key] = cnts.get(key, 0) + 1
-                        prev = cur
-                    m = len(cnts)
-                    ids.extend([i] * m)
-                    b1s.extend(k[0] for k in cnts)
-                    b2s.extend(k[1] for k in cnts)
-                    cs.extend(cnts.values())
-                yield pd.DataFrame(
-                    {"id": ids, "b1": b1s, "b2": b2s, "cnt": cs}
-                )
-
-        return base.mapInPandas(
-            _counts,
-            schema=f"id {id_ddl}, b1 bigint, b2 bigint, cnt bigint",
-        )
-    return (
-        hashed_bigram_pairs(df, id_col, text_col, n_buckets, hash_mode)
-        .groupBy("id", "b1", "b2")
-        .agg(F.count("*").alias("cnt"))
-    )
-
-
 def perplexity_filter(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -462,15 +366,15 @@ def perplexity_filter(
     from .dedup import _truncate_lineage
 
     B = n_buckets
-    # per-doc (b1, b2, cnt) multiplicities instead of raw pair rows
-    # (r6): sums over cnt are the exact pair-row counts, and the
-    # persisted frame both consumers share shrinks to the per-doc
-    # distinct bigram space.
-    pairs = hashed_bigram_counts(
+    # raw (id, b1, b2) pair rows, NOT per-doc pre-counts: measured at
+    # the 50k-doc tier the bigram-bucket multiplicities are ~1, so a
+    # (id, b1, b2) count shrinks nothing and its aggregate only added
+    # wall (2.34 s -> 2.6-2.8 s — reverted r6 experiment).
+    pairs = hashed_bigram_pairs(
         df, id_col, text_col, n_buckets, hash_mode
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cb = _truncate_lineage(
-        pairs.groupBy("b1", "b2").agg(F.sum("cnt").alias("c12"))
+        pairs.groupBy("b1", "b2").agg(F.count("*").alias("c12"))
     )
     c1 = cb.groupBy("b1").agg(F.sum("c12").alias("c1"))
     model = cb.join(c1, "b1").select(
@@ -487,8 +391,7 @@ def perplexity_filter(
         pairs.join(F.broadcast(model), ["b1", "b2"])
         .groupBy("id")
         .agg(
-            F.sum(F.col("w_micro") * F.col("cnt")).alias("lp"),
-            F.sum("cnt").alias("nb"),
+            F.sum("w_micro").alias("lp"), F.count("*").alias("nb")
         )
     )
     ids = df.select(F.col(id_col).alias("id"))

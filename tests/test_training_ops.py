@@ -136,9 +136,9 @@ def test_simhash_rolling_fused_equals_join(spark):
 
 
 def test_hashed_gram_impls_equal(spark):
-    """The Arrow gram/bigram builders (r6) must emit the identical
-    (id, bucket, cnt) / (id, b1, b2, cnt) tables as the window shapes,
-    including single-token, empty and NULL docs."""
+    """The Arrow gram builder (r6) must emit the identical
+    (id, bucket, cnt) table as the window shape, including
+    single-token, empty and NULL docs."""
     import random
 
     from tesseract_ocr_service_spark.operators import dsir as DS
@@ -158,9 +158,6 @@ def test_hashed_gram_impls_equal(spark):
     g_win = fp(DS.hashed_gram_counts(df, n_buckets=64, hash_mode="md5", impl="window"))
     g_pnd = fp(DS.hashed_gram_counts(df, n_buckets=64, hash_mode="md5", impl="pandas"))
     assert g_pnd == g_win and len(g_win) > 0
-    b_win = fp(DS.hashed_bigram_counts(df, n_buckets=64, hash_mode="md5", impl="window"))
-    b_pnd = fp(DS.hashed_bigram_counts(df, n_buckets=64, hash_mode="md5", impl="pandas"))
-    assert b_pnd == b_win and len(b_win) > 0
 
 
 def test_minhash_signatures_pandas_equals_agg(spark):
