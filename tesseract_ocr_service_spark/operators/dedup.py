@@ -36,6 +36,26 @@ from ..functions import textstats as T
 log = logging.getLogger(__name__)
 
 
+#: row cap for broadcasting checkpointed/statless small frames (~tens
+#: of MB hashed at 2 longs/row — comfortably inside any executor).
+_BCAST_ROWS_CAP = 1_000_000
+
+
+def _bcast_if_small(df: DataFrame, rows: int | None) -> DataFrame:
+    """Broadcast hint for a checkpointed (LogicalRDD) frame with a
+    KNOWN small row count. Checkpointed frames carry no stats (the
+    Long.MaxValue default), so neither the static planner nor AQE ever
+    broadcasts them — a 1k-row labels/losers table then forces a full
+    shuffle + sort of the corpus-sized side of its join (observed:
+    SortMergeJoin of 50k vertices against 1.1k checkpointed labels).
+    ``rows`` must be an ALREADY-KNOWN count (the caller materialized
+    the frame — counting here would add an eager consumer); None keeps
+    the shuffled join (the scale-safe default)."""
+    if rows is not None and rows <= _BCAST_ROWS_CAP:
+        return F.broadcast(df)
+    return df
+
+
 def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut an iterative plan's lineage. If the session has a RELIABLE
     checkpoint dir configured (``spark.sparkContext.setCheckpointDir``)
@@ -912,12 +932,32 @@ def minhash_signatures_agg(
     carry = carry or {}
     if impl == "pandas":
         id_ddl = df.schema[id_col].dataType.simpleString()
+        # Ship the NORMALIZED text (one string per doc), not the token
+        # array: T.tokens is an interpreted higher-order filter over
+        # every token (CLAUDE.md rule) and the array crosses Arrow as
+        # millions of cells. After T.normalized (JVM-side — lowercase
+        # stays locale-exact) the string is trimmed with single ASCII
+        # spaces, so python str.split(" ") reproduces
+        # tokens(normalized(x)) exactly (empty string -> no tokens).
         base = df.select(
             F.col(id_col).alias("id"),
             *[c.alias(name) for name, c in carry.items()],
-            T.tokens(
-                T.normalized(F.coalesce(F.col(text_col), F.lit("")))
-            ).alias("_tk"),
+            T.normalized(F.coalesce(F.col(text_col), F.lit(""))).alias(
+                "_nt"
+            ),
+        )
+        # ONE wave of maximal tasks: per-task cost has a fixed
+        # memo-rebuild component (every task re-hashes the distinct
+        # shingles IT sees — 16 md5s each), so 2x-parallelism spread
+        # inputs pay ~2x the redundant hashing plus a second wave.
+        # coalesce is shuffle-free (merges the spread partitions),
+        # scale-adaptive via defaultParallelism, and a no-op when the
+        # input already has that many partitions or fewer (NEVER probe
+        # .rdd.getNumPartitions() here — materializing the RDD of an
+        # AQE plan executes its upstream stages eagerly). Measured
+        # 1.68 s -> 1.20 s for the signature stage at the 50k-doc tier.
+        base = base.coalesce(
+            df.sparkSession.sparkContext.defaultParallelism
         )
         carry_ddl = ", ".join(
             f"{name} {base.schema[name].dataType.simpleString()}"
@@ -931,16 +971,20 @@ def minhash_signatures_agg(
             import pandas as pd
 
             memo: dict = {}
+            md5 = hashlib.md5
 
-            def _vec(s: str) -> tuple:
+            def _vec(s: str) -> list:
                 v = memo.get(s)
                 if v is None:
                     b = s.encode("utf-8")
-                    v = tuple(
-                        hashlib.md5(p + b).hexdigest() for p in prefixes
-                    )
+                    # BINARY digests: hex is a byte-monotone rendering,
+                    # so min over raw 16-byte digests == min over hex —
+                    # only the K per-doc WINNERS pay .hex() (16/doc vs
+                    # 16/distinct-shingle; hexdigest was ~25% of the
+                    # stage's profiled python wall)
+                    v = [md5(p + b).digest() for p in prefixes]
                     # bound worker memory on huge-vocabulary tasks
-                    # (~200k entries ≈ 300 MB of hex strings); the
+                    # (~200k entries ≈ 150 MB of digests); the
                     # degenerate small-vocab regime the memo targets
                     # never reaches the cap
                     if len(memo) >= 200_000:
@@ -950,8 +994,8 @@ def minhash_signatures_agg(
 
             for batch in batches:
                 sigs: list = []
-                for toks in batch["_tk"]:
-                    toks = list(toks)
+                for nt in batch["_nt"]:
+                    toks = nt.split(" ") if nt else []
                     if len(toks) >= n:
                         ss = dict.fromkeys(
                             " ".join(toks[j : j + n])
@@ -960,12 +1004,13 @@ def minhash_signatures_agg(
                     else:
                         ss = (" ".join(toks),)
                     vecs = [_vec(s) for s in ss]
-                    sigs.append(
-                        list(vecs[0])
+                    mins = (
+                        vecs[0]
                         if len(vecs) == 1
                         else [min(col) for col in zip(*vecs)]
                     )
-                out = batch.drop(columns=["_tk"])
+                    sigs.append([m.hex() for m in mins])
+                out = batch.drop(columns=["_nt"])
                 out["sig"] = sigs
                 yield out
 
@@ -1461,8 +1506,14 @@ def dedup_corpus(
         pairs.select(F.col("id_b").alias("_loser")).distinct()
     )
     sigs.unpersist()
+    # the checkpointed loser set carries no stats, so without a hint
+    # this anti-join shuffle+sorts the whole survivor side against a
+    # typically-tiny frame; the count is one cheap job over the
+    # just-materialized checkpoint
     return survivors.join(
-        losers, survivors[id_col] == losers["_loser"], "left_anti"
+        _bcast_if_small(losers, losers.count()),
+        survivors[id_col] == losers["_loser"],
+        "left_anti",
     )
 
 
@@ -1734,10 +1785,19 @@ def connected_components(
         .agg(F.min("d").alias("_m"))
         .select("id", F.least("id", "_m").alias("label"))
     )
+    # One row per edge endpoint, CONSTANT across rounds (labels only
+    # change value, never cardinality) — count once on the fresh
+    # checkpoint. Small endpoint sets (the common dedup-graph case)
+    # then broadcast through every round's join AND the final
+    # vertices join instead of forcing shuffle+sort of the big sides.
+    n_endpoints = labels.count()
     changed = -1
     for _ in range(max_iter):
         neighbor_min = (
-            sym.join(labels, sym["d"] == labels["id"])
+            sym.join(
+                _bcast_if_small(labels, n_endpoints),
+                sym["d"] == labels["id"],
+            )
             .groupBy("s")
             .agg(F.min("label").alias("nlabel"))
         )
@@ -1747,7 +1807,11 @@ def connected_components(
         # of a join of the new labels back onto the old — that join
         # shuffled both full label sets once more per round.
         new_labels = _truncate_lineage(
-            labels.join(neighbor_min, labels["id"] == neighbor_min["s"], "left")
+            labels.join(
+                _bcast_if_small(neighbor_min, n_endpoints),
+                labels["id"] == neighbor_min["s"],
+                "left",
+            )
             .select(
                 "id",
                 F.least(
@@ -1774,7 +1838,13 @@ def connected_components(
             raise RuntimeError(msg)
     return (
         vertices.select(F.col(id_col).alias("id"))
-        .join(labels.withColumnRenamed("label", "_lb"), "id", "left")
+        .join(
+            _bcast_if_small(
+                labels.withColumnRenamed("label", "_lb"), n_endpoints
+            ),
+            "id",
+            "left",
+        )
         .select(
             "id", F.coalesce("_lb", F.col("id")).alias("component_id")
         )
@@ -1898,7 +1968,11 @@ def connected_components_star(
     )
     return (
         vertices.select(F.col(id_col).alias("id"))
-        .join(labels, "id", "left")
+        # labels has <= one row per canonical edge and sig[0] is the
+        # converged edge COUNT (already measured by the convergence
+        # probe) — a known bound, so small star graphs broadcast
+        # instead of shuffle+sorting the corpus-sized vertices side
+        .join(_bcast_if_small(labels, sig[0]), "id", "left")
         .select(
             "id",
             F.coalesce("label", "id").alias("component_id"),

@@ -33,7 +33,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-def _par(df: DataFrame, key: str) -> DataFrame:
+def _par(df: DataFrame, key: str, mult: int = 2) -> DataFrame:
     """Spread a SINGLE-row-group driver table across the cluster. The
     driver's parquet tables are one file with one row group, so every
     scan is ONE split and all per-row work before the first exchange
@@ -51,10 +51,18 @@ def _par(df: DataFrame, key: str) -> DataFrame:
     at sf0.1 (0.6 MB documents) where a blanket repartition cost
     tfidf/dsir/repetition +0.3-0.8 s each while the sf1.0 (5.9 MB)
     wins were 1.3-3x. Reading the file sizes is a driver-side listing
-    lookup, no Spark job."""
+    lookup, no Spark job.
+
+    ``mult``: partitions = defaultParallelism * mult. 2 (default)
+    smooths per-row-work stragglers across waves; 1 for stages whose
+    per-task cost has a substantial FIXED component (the minhash
+    Arrow stage re-hashes the distinct shingles each task sees — a
+    per-task memo rebuild), where extra waves pay that fixed cost
+    again (sig stage measured 1.68 s at 2x vs 1.20 s at 1x on the
+    50k-doc tier)."""
     if _input_bytes(df) < 4 * 1024 * 1024:
         return df
-    p = df.sparkSession.sparkContext.defaultParallelism * 2
+    p = df.sparkSession.sparkContext.defaultParallelism * mult
     return df.repartition(p, F.xxhash64(key))
 
 
@@ -94,8 +102,8 @@ def _input_bytes(df: DataFrame) -> int:
     return total
 
 
-def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _par(_docs(spark, sf_dir), "doc_id")
+def _docs_par(spark: SparkSession, sf_dir: str, mult: int = 2) -> DataFrame:
+    return _par(_docs(spark, sf_dir), "doc_id", mult)
 
 
 def _emb_par(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +134,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 def dedup_minhash_sig(spark, sf_dir):
-    sigs = D.minhash_signatures_agg(_docs_par(spark, sf_dir), k=16, n=3)
+    sigs = D.minhash_signatures_agg(
+        _docs_par(spark, sf_dir, mult=1), k=16, n=3
+    )
     return sigs.select(
         F.col("id").alias("doc_id"),
         F.md5(F.array_join("sig", "|")).alias("sig_digest"),
@@ -540,8 +550,11 @@ def dedup_incremental_kept(spark, sf_dir):
     two must be EQUAL under monotone ids (operators/incremental.py)."""
     from . import incremental as I
 
-    docs = _docs_par(spark, sf_dir)
-    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    docs = _docs_par(spark, sf_dir, mult=1)
+    # the split point is data-determined; answer it from the BARE scan
+    # (single-file aggregate, no _par exchange replay — the repartition
+    # cannot change max(doc_id))
+    mid = _docs(spark, sf_dir).agg(F.max("doc_id")).collect()[0][0] // 2
     k1, s1 = I.dedup_incremental(
         docs.where(F.col("doc_id") <= mid), persist="checkpoint"
     )
@@ -555,7 +568,9 @@ def neardup_components(spark, sf_dir):
     """Near-dup CLUSTERS: connected components (iterative min-label
     propagation) over the minhash-LSH pair graph; oracle = DuckDB
     recursive-CTE transitive closure over the same md5 chain."""
-    return D.neardup_components(_docs_par(spark, sf_dir), threshold=0.7)
+    return D.neardup_components(
+        _docs_par(spark, sf_dir, mult=1), threshold=0.7
+    )
 
 
 def neardup_components_star(spark, sf_dir):
@@ -564,7 +579,7 @@ def neardup_components_star(spark, sf_dir):
     recursive-CTE closure oracle verifies both algorithms converge to
     identical components."""
     return D.neardup_components(
-        _docs_par(spark, sf_dir), threshold=0.7, algorithm="star"
+        _docs_par(spark, sf_dir, mult=1), threshold=0.7, algorithm="star"
     )
 
 
@@ -573,7 +588,9 @@ def neardup_keep_best(spark, sf_dir):
     retention): keep the LONGEST member (nonempty-token count, ties ->
     lowest id) of each connected component. One row_number window
     PARTITIONED by component_id — never a global sort."""
-    return D.keep_best_per_component(_docs_par(spark, sf_dir), threshold=0.7)
+    return D.keep_best_per_component(
+        _docs_par(spark, sf_dir, mult=1), threshold=0.7
+    )
 
 
 def neardup_cluster_sizes(spark, sf_dir):
@@ -581,7 +598,9 @@ def neardup_cluster_sizes(spark, sf_dir):
     (component size -> number of components). Two partial-aggregating
     groupBys over the component table; the heavy lifting is the
     components fixed-point, shared shape with neardup_components."""
-    comp = D.neardup_components(_docs_par(spark, sf_dir), threshold=0.7)
+    comp = D.neardup_components(
+        _docs_par(spark, sf_dir, mult=1), threshold=0.7
+    )
     return (
         comp.groupBy("component_id")
         .agg(F.count("*").alias("cluster_size"))
