@@ -1782,6 +1782,7 @@ def connected_components(
     # then broadcast through every round's join AND the final
     # vertices join instead of forcing shuffle+sort of the big sides.
     n_endpoints = labels.count()
+    small = n_endpoints <= _BCAST_ROWS_CAP
     changed = -1
     for _ in range(max_iter):
         neighbor_min = (
@@ -1792,6 +1793,37 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("label").alias("nlabel"))
         )
+        if small:
+            # probe convergence BEFORE materializing anything: the
+            # common shallow-graph exit (seed already fixed) then
+            # costs ONE broadcast-join count and no checkpoint of an
+            # unchanged label table. A continuing round recomputes
+            # neighbor_min inside the checkpoint — cheap by the same
+            # bound that lets it broadcast; the at-scale path below
+            # never evaluates twice.
+            changed = (
+                labels.join(
+                    _bcast_if_small(neighbor_min, n_endpoints),
+                    labels["id"] == neighbor_min["s"],
+                )
+                .where(F.col("nlabel") < F.col("label"))
+                .count()
+            )
+            if changed == 0:
+                break
+            labels = _truncate_lineage(
+                labels.join(
+                    _bcast_if_small(neighbor_min, n_endpoints),
+                    labels["id"] == neighbor_min["s"],
+                    "left",
+                ).select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", "label")
+                    ).alias("label"),
+                )
+            )
+            continue
         # carry the per-row change flag INTO the checkpoint (labels
         # only ever decrease, so new < old ⟺ changed): the convergence
         # probe is then one filter+count scan of the checkpoint instead
