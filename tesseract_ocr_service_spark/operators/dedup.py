@@ -1705,20 +1705,23 @@ def simhash_pairs_multi_index(
     return pairs.distinct()
 
 
-def connected_components(
+def _label_prop_labels(
     edges: DataFrame,
-    vertices: DataFrame,
-    id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
     on_nonconverged: str = "raise",
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Connected components by iterative min-label propagation:
     every vertex starts labeled with its own id; each round every
     vertex takes the min of its label and its neighbors' labels; stop
-    when no label changes (or max_iter). -> (id, component_id) where
-    component_id = min vertex id of the component.
+    when no label changes (or max_iter). Returns the converged
+    EDGE-ENDPOINT ``(id, label)`` frame plus its known row count (the
+    broadcast bound); :func:`connected_components` joins the isolated
+    vertices back, and score-aware consumers (keep_best) join the
+    labels straight onto their one-pass score projection instead of
+    paying a comp ⋈ scored shuffle. component_id = min vertex id of
+    the component.
 
     Scale shape: per round ONE equi-join edges⋈labels + ONE min
     aggregate — both key-partitioned shuffles AQE can skew-split;
@@ -1859,11 +1862,35 @@ def connected_components(
             log.warning(msg)
         else:
             raise RuntimeError(msg)
+    return labels, n_endpoints
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    labels, n_endpoints = _label_prop_labels(
+        edges, src_col, dst_col, max_iter, on_nonconverged
+    )
+    return _attach_labels(vertices, id_col, labels, n_endpoints)
+
+
+def _attach_labels(
+    vertices: DataFrame, id_col: str, labels: DataFrame, n_bound: int
+) -> DataFrame:
+    """(id, component_id) for EVERY vertex: edge-endpoint labels join
+    in (broadcast when the known bound allows), isolated vertices
+    label themselves."""
     return (
         vertices.select(F.col(id_col).alias("id"))
         .join(
             _bcast_if_small(
-                labels.withColumnRenamed("label", "_lb"), n_endpoints
+                labels.withColumnRenamed("label", "_lb"), n_bound
             ),
             "id",
             "left",
@@ -1886,14 +1913,19 @@ def _canonical_edges(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
     )
 
 
-def _large_star(e: DataFrame) -> DataFrame:
+def _large_star(e: DataFrame, n_bound: int | None = None) -> DataFrame:
     """Connect every neighbor LARGER than u to min(Γ⁺(u)). Input/output
-    edges canonical (a > b)."""
+    edges canonical (a > b). ``n_bound``: known bound on the CURRENT
+    edge count (the convergence probe measures it every cycle) — the
+    per-u minimum table has at most 2x that many rows, so small star
+    graphs broadcast it instead of shuffle+sorting sym."""
     sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
         e.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
     # m = min(Γ⁺(u)) = least(u, min over neighbors)
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    if n_bound is not None:
+        mins = _bcast_if_small(mins, 2 * n_bound)
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
@@ -1906,11 +1938,14 @@ def _large_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, n_bound: int | None = None) -> DataFrame:
     """Connect every neighbor ≤ u (and u itself) to the minimum of u's
-    SMALL neighborhood. Canonical in, canonical out."""
+    SMALL neighborhood. Canonical in, canonical out. ``n_bound`` as in
+    :func:`_large_star`."""
     # e is already oriented big → small: neighbors of u are {b : (u,b)}
     mins = e.groupBy("a").agg(F.min("b").alias("m"))
+    if n_bound is not None:
+        mins = _bcast_if_small(mins, 2 * n_bound)
     rewired = (
         e.join(mins, "a")
         .where(F.col("b") != F.col("m"))
@@ -1920,15 +1955,13 @@ def _small_star(e: DataFrame) -> DataFrame:
     return rewired.union(centers).distinct()
 
 
-def connected_components_star(
+def _star_labels(
     edges: DataFrame,
-    vertices: DataFrame,
-    id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
     on_nonconverged: str = "raise",
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Connected components by alternating LARGE-STAR / SMALL-STAR
     contraction (Kiveris et al., "Connected Components in MapReduce and
     Beyond", the Two-Phase algorithm): each round rewires every node
@@ -1964,7 +1997,9 @@ def connected_components_star(
     sig = _sig(e)
     converged = False
     for _ in range(max_iter):
-        e = _truncate_lineage(_small_star(_large_star(e)))
+        e = _truncate_lineage(
+            _small_star(_large_star(e, sig[0]), sig[0])
+        )
         new_sig = _sig(e)
         if new_sig == sig:
             converged = True
@@ -1989,18 +2024,25 @@ def connected_components_star(
         e.groupBy(F.col("a").alias("id"))
         .agg(F.min("b").alias("label"))
     )
-    return (
-        vertices.select(F.col(id_col).alias("id"))
-        # labels has <= one row per canonical edge and sig[0] is the
-        # converged edge COUNT (already measured by the convergence
-        # probe) — a known bound, so small star graphs broadcast
-        # instead of shuffle+sorting the corpus-sized vertices side
-        .join(_bcast_if_small(labels, sig[0]), "id", "left")
-        .select(
-            "id",
-            F.coalesce("label", "id").alias("component_id"),
-        )
+    # labels has <= one row per converged canonical edge and sig[0] is
+    # that edge COUNT (already measured by the convergence probe) — a
+    # known broadcast bound for the downstream joins
+    return labels, sig[0]
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    labels, n_bound = _star_labels(
+        edges, src_col, dst_col, max_iter, on_nonconverged
     )
+    return _attach_labels(vertices, id_col, labels, n_bound)
 
 
 def neardup_components(
@@ -2025,18 +2067,34 @@ def neardup_components(
     (:func:`connected_components_star` — O(log n) rounds regardless of
     chain length).
     """
+    labels, n_bound = _neardup_labels(
+        df, id_col, text_col, threshold, minhash_k, bands, algorithm
+    )
+    return _attach_labels(
+        df.select(F.col(id_col).alias("id")), "id", labels, n_bound
+    ).select(F.col("id").alias("doc_id"), "component_id")
+
+
+def _neardup_labels(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    minhash_k: int,
+    bands: int,
+    algorithm: str,
+) -> tuple[DataFrame, int]:
+    """Converged (id, label) over the minhash-LSH pair graph's edge
+    ENDPOINTS plus the broadcast bound — shared by the component table
+    (vertices join) and keep_best (labels joined straight onto the
+    score projection, skipping a comp ⋈ scored shuffle)."""
     pairs = minhash_dedup_pairs(
         df, id_col, text_col, k=minhash_k, bands=bands, threshold=threshold
     )
-    cc = (
-        connected_components_star
-        if algorithm == "star"
-        else connected_components
+    lab = _star_labels if algorithm == "star" else _label_prop_labels
+    return lab(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
-    return cc(
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
-        df.select(F.col(id_col).alias("id")),
-    ).select(F.col("id").alias("doc_id"), "component_id")
 
 
 def keep_best_per_component(
@@ -2068,9 +2126,6 @@ def keep_best_per_component(
     last saw for a content hash (ocr/main.py result_store put); a
     training pipeline must instead pick the best cluster member.
     """
-    comp = neardup_components(
-        df, id_col, text_col, threshold=threshold, algorithm=algorithm
-    )
     score = (
         score_col
         if score_col is not None
@@ -2081,13 +2136,33 @@ def keep_best_per_component(
             )
         ).cast("bigint")
     )
-    scored = df.select(F.col(id_col).alias("doc_id"), score.alias("score"))
+    # ONE pass over df computes the score; the (tiny, known-bounded)
+    # endpoint labels broadcast straight onto it — the former
+    # comp ⋈ scored equi-join shuffled BOTH 1-row-per-doc tables (r6)
+    labels, n_bound = _neardup_labels(
+        df, id_col, text_col, threshold, 16, 4, algorithm
+    )
+    scored = df.select(
+        F.col(id_col).alias("doc_id"), score.alias("score")
+    ).join(
+        _bcast_if_small(
+            labels.withColumnRenamed("id", "doc_id").withColumnRenamed(
+                "label", "_lb"
+            ),
+            n_bound,
+        ),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("_lb", F.col("doc_id")).alias("component_id"),
+        "score",
+    )
     w = Window.partitionBy("component_id").orderBy(
         F.col("score").desc(), F.col("doc_id")
     )
     return (
-        comp.join(scored, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "component_id", "score")
     )
