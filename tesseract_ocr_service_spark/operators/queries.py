@@ -234,6 +234,11 @@ def tfidf_top_terms(spark, sf_dir):
         ).alias("tok"),
     ).where(F.col("tok") != "")
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregate and the scoring join — two
+    # consumers, no ReusedExchange under AQE (CLAUDE.md rule): without
+    # the truncation the explode+aggregate pipeline ran twice
+    # (measured 2.1-4.5 s vs a stable 1.8-2.0 s at the 50k tier)
+    tf = D._truncate_lineage(tf)
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("dfreq"))
     scored = tf.join(dfreq, "tok").withColumn(
         "_score", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq"))
