@@ -510,17 +510,19 @@ def ngram_jaccard_pairs(
             from .queries import _input_bytes
 
             par = df.sparkSession.sparkContext.defaultParallelism
-            # enough block pairs for ~3 waves of tasks (B=14 vs 28 at
-            # 50k docs on local[32]: median 3.8-4.25 s vs 4.3-4.8 s in
-            # a warm JVM — higher B pays more replication than the
-            # smoother scheduling buys), and blocks no bigger than
-            # ~16 MB of source text: with a fixed block byte-size the
-            # per-task candidate count (Σ_g occ_i·occ_j ≈
-            # block_rows² / vocab) stays FLAT as the corpus grows —
-            # B ∝ N keeps every task memory-bounded while the task
-            # count absorbs the quadratic total.
+            # replication bytes scale with B (every doc ships to B
+            # tasks), so the SMALLEST B that still fills the cluster
+            # wins: ~1.5-2 waves of block-pair tasks (B(B+1)/2 ≈
+            # 3·par). Measured at 50k docs on local[32]: B=10 3.83 s
+            # vs B=14 4.1-4.6 s vs B=28 4.3-4.8 s — each step up pays
+            # more replication than the smoother scheduling buys. The
+            # size term still dominates at scale: blocks no bigger
+            # than ~16 MB of source text keeps the per-task candidate
+            # count (Σ_g occ_i·occ_j ≈ block_rows² / vocab) FLAT as
+            # the corpus grows — B ∝ N bounds every task while the
+            # task count absorbs the quadratic total.
             B = max(
-                math.ceil(math.sqrt(6 * par)),
+                math.ceil(math.sqrt(3 * par)),
                 math.ceil(_input_bytes(df) / (16 * 1024 * 1024)),
             )
             B = min(B, 256)

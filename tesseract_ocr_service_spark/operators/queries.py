@@ -603,15 +603,31 @@ def neardup_cluster_sizes(spark, sf_dir):
     (component size -> number of components). Two partial-aggregating
     groupBys over the component table; the heavy lifting is the
     components fixed-point, shared shape with neardup_components."""
-    comp = D.neardup_components(
-        _docs_par(spark, sf_dir, mult=1), threshold=0.7
+    # histogram straight from the converged EDGE-ENDPOINT labels (r6):
+    # a vertex with an edge always shares its component with >= 1
+    # other vertex, so every labels-side component has size >= 2 and
+    # the singletons are EXACTLY the non-endpoint docs — one tiny
+    # aggregate over the labels frame plus one computed row replaces
+    # building and re-aggregating the full 1-row-per-doc component
+    # table (the vertices join + a 50k-row groupBy).
+    labels, n_endpoints = D._neardup_labels(
+        _docs_par(spark, sf_dir, mult=1), "doc_id", "text", 0.7, 16, 4,
+        "label",
     )
-    return (
-        comp.groupBy("component_id")
+    n_docs = _docs(spark, sf_dir).count()
+    hist = (
+        labels.groupBy("label")
         .agg(F.count("*").alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
     )
+    n_singletons = n_docs - n_endpoints
+    if n_singletons > 0:
+        single = spark.createDataFrame(
+            [(1, n_singletons)], "cluster_size bigint, n_clusters bigint"
+        )
+        hist = hist.unionByName(single)
+    return hist
 
 
 IVF_LISTS = 8
