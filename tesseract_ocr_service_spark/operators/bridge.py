@@ -36,8 +36,11 @@ def pages_from_documents(docs: DataFrame) -> DataFrame:
     # deterministic hash repartition (guide §2.5: never rand/round-
     # robin — task retries must reproduce the same assignment) sized
     # from the session's parallelism, BEFORE the payload bytes are
-    # built, so the shuffle moves only the small source rows.
-    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    # built, so the shuffle moves only the small source rows. ONE
+    # wave (1x parallelism, r6): the kernel's Arrow tasks carry fixed
+    # per-task setup, and 2x-spread measured ~0.5 s slower per kernel
+    # query at the 50k tier (2.23 -> 1.74 s pdf_kernel_pages).
+    par = docs.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par, F.xxhash64("doc_id"))
     escaped = F.replace(
         F.replace(

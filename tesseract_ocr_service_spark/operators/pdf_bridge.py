@@ -127,7 +127,7 @@ def pdf_pages_from_documents(docs: DataFrame) -> DataFrame:
     stages chain inside the same stage), serializing the whole pdf
     path on one core — measured 6.5 s builder / 33 s spans pipeline at
     sf1.0 before, against ~0.6 s of actual parallel python work."""
-    par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.select("doc_id", "text")
         .repartition(par, F.xxhash64("doc_id"))
