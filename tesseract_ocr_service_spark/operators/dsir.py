@@ -193,6 +193,12 @@ def hashed_gram_counts(
 
                 yield pd.DataFrame(out)
 
+        # one wave of maximal tasks (same rule as the minhash
+        # signature stage: fixed per-task setup; shuffle-free no-op
+        # unless the input is over-spread)
+        base = base.coalesce(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
         return base.mapInPandas(
             _counts,
             schema=(
